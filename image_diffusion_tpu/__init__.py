@@ -1,0 +1,20 @@
+"""TPU-native two-stage latent diffusion framework.
+
+A from-scratch JAX/Flax/XLA/Pallas re-design of the capabilities of the
+reference PyTorch stack (jklimmek/image-diffusion): stage-1 adversarial
+autoencoders (KL-VAE / VQ-VAE + PatchGAN), stage-2 class-conditional UNet
+denoiser with a 1000-step DDPM schedule and classifier-free guidance, plus
+the surrounding training / data / sampling / observability tooling.
+
+Layout (mirrors SURVEY.md section 1's layer map, TPU-first):
+  core/      configs, RNG plumbing, logging, metrics, checkpoints   (L0)
+  ops/       DDPM schedule math, Pallas kernels                     (L1 math)
+  models/    Flax NHWC modules: layers, VAE, UNet, discriminator    (L1/L2)
+  parallel/  mesh + sharding helpers                                (new)
+  pipelines/ jit-compiled lax.scan sampler with batched CFG         (L3)
+  training/  data pipeline + pure-function trainers                 (L4)
+  compat/    PyTorch checkpoint import for parity testing
+Scripts (L5) live at the repo root under scripts/.
+"""
+
+__version__ = "0.1.0"

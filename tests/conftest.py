@@ -1,0 +1,18 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the standard JAX trick for
+exercising pjit/shard_map sharding without TPU hardware):
+`--xla_force_host_platform_device_count=8` + JAX_PLATFORMS=cpu.
+Must be set before JAX initializes its backends, hence here in conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
