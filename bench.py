@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1000-step DDPM CFG sampling throughput.
+
+Reproduces the reference's north-star workload — the 27-image CFG grid
+(3 classes x 9 guidance scales, 1000 ancestral steps, cond+uncond UNet
+evaluation per step, final VAE decode; reference modules/diffusion.py:51-59
++ README.md:42, ~12 minutes on a T4-class GPU) — on one TPU chip with the
+full-size shipped architectures (60M UNet, 36M KL-VAE) in bf16.
+
+Prints ONE JSON line:
+  {"metric": "cfg_grid_images_per_sec_per_chip", "value": ..., "unit":
+   "images/sec/chip", "vs_baseline": ...}
+vs_baseline is speedup over the reference's 27 img / 720 s = 0.0375 img/s.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 27.0 / 720.0  # reference README.md:42
+
+
+def wait(x):
+    """Force completion via host transfer: on the experimental 'axon'
+    platform jax.block_until_ready returns before execution finishes, so a
+    device->host copy is the only honest barrier."""
+    return np.asarray(x)
+
+
+def main():
+    from image_diffusion_tpu.core.config import ScheduleConfig, UNetArch, VAEArch
+    from image_diffusion_tpu.models import build_unet, build_vae
+    from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+    vae_arch = VAEArch()   # shipped configs/vae-kl-32x32.yaml architecture
+    unet_arch = UNetArch()  # shipped configs/diff-kl-lin-32x32.yaml architecture
+    sched_cfg = ScheduleConfig()  # 1000 steps, scaled-linear 1e-4 -> 0.02
+
+    vae = build_vae(vae_arch, dtype=jnp.bfloat16)
+    unet = build_unet(unet_arch, dtype=jnp.bfloat16)
+    vae_vars = vae.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 128, 128, 3), jnp.float32),
+    )
+    unet_vars = unet.init(
+        jax.random.key(2),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+
+    pipeline = DiffusionPipeline(
+        vae_arch, vae_vars, unet_arch, unet_vars, sched_cfg,
+        ["a hot place", "a cold place", "a mild place"],
+    )
+
+    cfg_scales = list(range(1, 10))  # 9 scales x 3 classes = 27 images
+    n_images = len(cfg_scales) * len(pipeline.classes)
+
+    # compile (cached for the timed runs)
+    wait(pipeline.sample(cfg_scales, seed=0))
+
+    times = []
+    for i in range(2):
+        t0 = time.time()
+        wait(pipeline.sample(cfg_scales, seed=1 + i))
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    n_chips = jax.device_count()
+    img_per_sec_per_chip = n_images / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cfg_grid_images_per_sec_per_chip",
+                "value": round(img_per_sec_per_chip, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+    print(
+        f"[bench] {n_images} images, 1000 DDPM steps, {dt:.2f}s wall on "
+        f"{n_chips} chip(s); reference ~720s on T4",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

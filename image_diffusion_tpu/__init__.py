@@ -18,3 +18,19 @@ Scripts (L5) live at the repo root under scripts/.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the big jitted programs (60M-param UNet
+# train step, the 1000-step sampler scan) compile once per machine instead
+# of once per process.  Override the location with IDTPU_COMPILE_CACHE;
+# set it empty to disable.
+_cache_dir = _os.environ.get("IDTPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/idtpu_xla"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass

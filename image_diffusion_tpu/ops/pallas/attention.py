@@ -1,0 +1,122 @@
+"""Flash-style blockwise self-attention Pallas kernel.
+
+The designated fused-kernel target for the latent self-attention at
+32x32/16x16/8x8/4x4 token grids (SURVEY.md section 3.5; reference attention
+is plain einsum softmax at modules/components.py:91-94).  The kernel keeps
+Q resident in VMEM and streams K/V in blocks with an online softmax, so the
+(N x N) score matrix never materializes in HBM — flash-attention structure,
+sized so it stays correct if latent resolutions grow.
+
+Forward is Pallas; backward falls back to differentiating the XLA reference
+implementation (attention here is a small share of total FLOPs during
+training — convs dominate — so a hand-written bwd kernel is not worth its
+complexity yet).  `flash_attention` is numerically validated against
+`reference_attention` in tests/test_pallas.py.
+
+Layout: q, k, v are (B, H, N, D); output (B, H, N, D).  D is zero-padded to
+the 128-lane width inside the wrapper when needed (head_dim is 16-64 for
+the shipped configs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def reference_attention(q, k, v, scale: float):
+    """XLA reference: softmax(q k^T * scale) v, softmax in fp32."""
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_kv: int):
+    """One (batch*head) slice: Q (N, D) resident, K/V streamed in blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (N, D)
+    n_kv = k_ref.shape[1]
+    num_blocks = n_kv // block_kv
+
+    n = q.shape[0]
+    m_i = jnp.full((n, 1), -jnp.inf, jnp.float32)   # running max
+    l_i = jnp.zeros((n, 1), jnp.float32)            # running denom
+    acc = jnp.zeros((n, q.shape[1]), jnp.float32)   # running numerator
+
+    def body(j, carry):
+        m_i, l_i, acc = carry
+        k_blk = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (N, bkv)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_blocks, body, (m_i, l_i, acc))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale: float, block_kv: int, interpret: bool):
+    B, H, N, D = q.shape
+    n_kv = k.shape[2]
+    bkv = min(block_kv, n_kv)
+    # pad kv length to a block multiple with -inf-scoring zeros? lengths here
+    # are powers of two (16..1024) so exact blocking always holds.
+    assert n_kv % bkv == 0, (n_kv, bkv)
+
+    grid = (B * H,)
+    qf = q.reshape(B * H, N, D)
+    kf = k.reshape(B * H, n_kv, D)
+    vf = v.reshape(B * H, n_kv, D)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_kv=bkv),
+        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, N, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, scale: float, block_kv: int = 256, interpret: bool = False):
+    """Pallas forward, XLA-differentiated backward."""
+    return _flash_forward(q, k, v, scale, block_kv, interpret)
+
+
+def _fwd(q, k, v, scale, block_kv, interpret):
+    return _flash_forward(q, k, v, scale, block_kv, interpret), (q, k, v)
+
+
+def _bwd(scale, block_kv, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: reference_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def attention(q, k, v, *, head_dim: int, interpret: bool = False):
+    """Shape-adaptive entry: pads D to lane width and picks a KV block."""
+    scale = 1.0 / math.sqrt(head_dim)
+    D = q.shape[-1]
+    pad = (-D) % 128
+    if pad:
+        padw = [(0, 0)] * (q.ndim - 1) + [(0, pad)]
+        q, k, v = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
+    out = flash_attention(q, k, v, scale, min(256, q.shape[2]), interpret)
+    return out[..., :D] if pad else out

@@ -1,0 +1,76 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-process single-GPU (SURVEY.md section 2
+parallelism census); all of this is new capability.  The design follows the
+standard JAX recipe: pick a mesh, annotate shardings with NamedSharding,
+write global-view code, and let GSPMD insert the ICI collectives.
+
+Axes:
+  'data'  — batch sharding (gradients all-reduced by XLA over ICI).
+  'model' — optional tensor-parallel axis (attention heads / conv channels);
+            size 1 by default since the 36M/66M models replicate easily.
+
+Multi-host: call `initialize_distributed()` first (uses TPU pod env);
+jax.devices() then spans all hosts and the same mesh code applies.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed() -> None:
+    """Multi-host init (no-op on a single process)."""
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run; nothing to initialize
+
+
+def make_mesh(
+    data: int | None = None,
+    model: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """('data', 'model') mesh. data defaults to n_devices // model.
+
+    The data axis is laid out over the fastest-varying device dimension so
+    gradient all-reduce rides ICI rings.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a host batch with the batch axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,82 @@
+"""Data pipeline: npy blobs -> sharded device batches with prefetch.
+
+The reference loads whole .npy blobs into RAM and feeds a single-worker
+DataLoader (reference scripts/train_vae.py:12-25,
+trainers/vae_trainer.py:150-153).  Here the host side stays equally simple
+(one RAM-resident blob, per-epoch permutation) but the device side is
+TPU-native:
+
+  * batches are transferred in their STORAGE dtype (uint8 images / fp16
+    latents) and normalized/augmented on device inside the jitted train
+    step — 4x less host->device traffic than shipping fp32;
+  * `device_put` is async; the iterator keeps `prefetch` batches in flight
+    so transfer overlaps compute (double buffering);
+  * batches land pre-sharded over the mesh 'data' axis via NamedSharding;
+  * the trailing partial batch is dropped (static shapes keep one compiled
+    program per run).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..parallel.mesh import batch_sharding
+
+
+class ArrayDataset:
+    """One or more aligned in-RAM arrays (images, or latents + labels)."""
+
+    def __init__(self, *arrays: np.ndarray):
+        if not arrays:
+            raise ValueError("need at least one array")
+        n = len(arrays[0])
+        if any(len(a) != n for a in arrays):
+            raise ValueError("arrays must be aligned")
+        self.arrays = arrays
+
+    @classmethod
+    def from_npy(cls, *paths: str) -> "ArrayDataset":
+        return cls(*[np.load(p) for p in paths])
+
+    def __len__(self) -> int:
+        return len(self.arrays[0])
+
+
+def epoch_batches(
+    dataset: ArrayDataset,
+    batch_size: int,
+    mesh: Mesh | None = None,
+    shuffle_seed: int | None = None,
+    prefetch: int = 2,
+) -> Iterator[tuple]:
+    """Yield device-resident batches for one epoch, prefetched and sharded."""
+    n = len(dataset)
+    if shuffle_seed is not None:
+        order = np.random.default_rng(shuffle_seed).permutation(n)
+    else:
+        order = np.arange(n)
+
+    num_batches = n // batch_size
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(i: int):
+        idx = order[i * batch_size : (i + 1) * batch_size]
+        host = tuple(np.ascontiguousarray(a[idx]) for a in dataset.arrays)
+        if sharding is not None:
+            return tuple(jax.device_put(h, sharding) for h in host)
+        return tuple(jax.device_put(h) for h in host)
+
+    # double-buffered prefetch: keep `prefetch` async transfers in flight
+    buf = [put(i) for i in range(min(prefetch, num_batches))]
+    for i in range(num_batches):
+        if i + prefetch < num_batches:
+            buf.append(put(i + prefetch))
+        yield buf.pop(0)
+
+
+def steps_per_epoch(dataset: ArrayDataset, batch_size: int) -> int:
+    return len(dataset) // batch_size

@@ -1,0 +1,226 @@
+"""Stage-2 denoiser training: eps-prediction MSE on pre-extracted latents.
+
+TPU-native re-design of reference trainers/diffusion_trainer.py:17-217.
+The per-step work — reparametrizing stored KL latents, drawing (t, noise),
+q-sampling, CFG condition dropout, the bf16 UNet forward, fp32 MSE, global
+grad-norm clip and Adam update — is ONE jit-compiled pure function
+`train_step(state, x, c, rng) -> (state, metrics)`; the host loop only
+feeds pre-sharded batches and flushes ring-buffered metrics.
+
+Optimizer parity: Adam(0.9, 0.999, eps 1e-8) with linear warmup from lr/100
+over `warmup_steps` then constant (reference
+trainers/diffusion_trainer.py:131-139; the reference's Adam is constructed
+without lr — default 1e-3 — but every step overwrites it from the warmup
+formula, so the effective schedule is exactly this one).  Gradients are
+clipped by global norm BEFORE the update, as torch's clip_grad_norm_ does.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh
+
+from ..core import checkpoint as ckpt
+from ..core.config import DiffusionConfig
+from ..core.logging import BasicLogger
+from ..core.metrics import MetricHolder
+from ..core.rng import epoch_key, numpy_seed, root_key
+from ..models import build_unet
+from ..models.vae import VAE
+from ..ops import schedule as S
+from ..parallel.mesh import replicate
+from .data import ArrayDataset, epoch_batches, steps_per_epoch
+
+
+def warmup_schedule(learning_rate: float, warmup_steps: int) -> optax.Schedule:
+    """lr/100 -> lr linearly over warmup_steps, then constant."""
+    min_lr = learning_rate / 100.0
+
+    def schedule(step):
+        frac = jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        warm = min_lr + (learning_rate - min_lr) * frac
+        return jnp.where(step < warmup_steps, warm, learning_rate)
+
+    return schedule
+
+
+def make_optimizer(learning_rate: float, warmup_steps: int, clip_grad: float | None):
+    tx = optax.adam(warmup_schedule(learning_rate, warmup_steps))
+    if clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    return tx
+
+
+def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float, reparametrize: bool):
+    """Build the jitted train step (donates the state buffer)."""
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: train_state.TrainState, x, c, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        k_rep, k_t, k_noise, k_drop = jax.random.split(rng, 4)
+
+        x = x.astype(jnp.float32)
+        if reparametrize:
+            # stored KL latents are (mean || log_var): fresh z every step
+            # (reference trainers/diffusion_trainer.py:146-152)
+            x = VAE.reparametrize(x, k_rep)
+        c = c.astype(jnp.int32)
+
+        B = x.shape[0]
+        t = jax.random.randint(k_t, (B,), 0, sched.num_steps)
+        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        x_noise = S.q_sample(sched, x, noise, t)
+        mask = (jax.random.uniform(k_drop, (B,)) > cond_drop_prob)[:, None].astype(jnp.float32)
+
+        def loss_fn(params):
+            eps_hat = unet_model.apply({"params": params}, x_noise, t, c, mask)
+            return jnp.mean((eps_hat.astype(jnp.float32) - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        return state, {"unet/loss": loss, "unet/grad": grad_norm}
+
+    return train_step
+
+
+class DiffusionTrainer:
+    """Host-side orchestration: epochs, metrics, checkpoints."""
+
+    def __init__(
+        self,
+        config: DiffusionConfig,
+        train_set: ArrayDataset,
+        logger: BasicLogger,
+        holder: MetricHolder,
+        mesh: Mesh | None = None,
+        checkpoint: str | None = None,
+        run_name: str = "unet",
+    ):
+        self.cfg = config
+        self.train_set = train_set
+        self.logger = logger
+        self.holder = holder
+        self.mesh = mesh
+        self.run_name = run_name
+
+        self.model = build_unet(config.arch, dtype=config.train.compute_dtype)
+        self.sched = S.make_schedule(
+            config.schedule.num_steps,
+            config.schedule.beta_start,
+            config.schedule.beta_end,
+            config.schedule.noise_type,
+        )
+        self.tx = make_optimizer(
+            config.train.learning_rate, config.train.warmup_steps, config.train.clip_grad
+        )
+        self.lr_fn = warmup_schedule(config.train.learning_rate, config.train.warmup_steps)
+
+        # init params (fp32) — latent shape from the dataset
+        sample_shape = train_set.arrays[0].shape
+        h, w = sample_shape[1], sample_shape[2]
+        zc = sample_shape[3] // (2 if config.train.ae_type == "kl" else 1)
+        variables = self.model.init(
+            jax.random.key(0),
+            jnp.zeros((1, h, w, zc), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+        self.state = train_state.TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        )
+        if mesh is not None:
+            self.state = replicate(mesh, self.state)
+
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        logger.log_console(f"Unet has {n_params:,} params.")
+        logger.log_console(f"Train set has {len(train_set)} items.")
+
+        self.curr_epoch = 0
+        if checkpoint is not None:
+            trees, meta = ckpt.load_checkpoint(checkpoint)
+            self.state = self.state.replace(
+                params=ckpt.restore_into(self.state.params, trees["unet"]),
+                opt_state=ckpt.restore_into(self.state.opt_state, trees["optim"]),
+                step=int(trees["step"]["step"]),
+            )
+            if mesh is not None:
+                self.state = replicate(mesh, self.state)
+            self.curr_epoch = int(meta["epoch"]) + 1
+            logger.log_console(f"Loading model checkpoint from {checkpoint}")
+        else:
+            logger.log_console("No checkpoint provided. Training from scratch.")
+
+        self.train_step = make_train_step(
+            self.model,
+            self.sched,
+            config.train.cond_drop_prob,
+            reparametrize=(config.train.ae_type == "kl"),
+        )
+
+    def save(self, epoch: int, path: str | None = None) -> str:
+        if path is None:
+            name = f"unet-epoch-{epoch:02}.ckpt"
+            path = os.path.join(self.cfg.train.checkpoints_dir, self.run_name, name)
+        ckpt.save_checkpoint(
+            path,
+            architecture=self.cfg.arch.to_dict(),
+            epoch=epoch,
+            unet=self.state.params,
+            optim=self.state.opt_state,
+            step={"step": int(self.state.step)},
+        )
+        return path
+
+    def train(self) -> None:
+        cfg = self.cfg.train
+        self.logger.log_params(
+            lr=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            cond_drop_prob=cfg.cond_drop_prob,
+            scheduler=(
+                f"{self.cfg.schedule.noise_type} : [{self.cfg.schedule.beta_start}"
+                f" - {self.cfg.schedule.beta_end}] in {self.cfg.schedule.num_steps} steps"
+            ),
+        )
+        # seed offset by epochs keeps resumed sub-runs' batch order fresh
+        # (reference scripts/train_diffusion.py:60-65 semantics)
+        key = root_key(cfg.seed, offset=cfg.epochs)
+        spe = steps_per_epoch(self.train_set, cfg.batch_size)
+
+        for epoch in range(self.curr_epoch, cfg.epochs):
+            ekey = epoch_key(key, epoch)
+            epoch_loss = 0.0
+            t_last = time.time()
+            for step, (x, c) in enumerate(
+                epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey))
+            ):
+                adjusted_step = epoch * spe + step
+                self.state, metrics = self.train_step(self.state, x, c, ekey)
+
+                self.holder.store_dict(metrics)
+                self.holder.store_variable("unet/lr", float(self.lr_fn(adjusted_step)))
+
+                if (adjusted_step + 1) % cfg.log_interval == 0:
+                    # block on the last step's loss so throughput is honest
+                    flushed = self.holder.flush()
+                    now = time.time()
+                    flushed["unet/samples_per_sec"] = (
+                        cfg.log_interval * cfg.batch_size / (now - t_last)
+                    )
+                    t_last = now
+                    self.logger.log_metrics(flushed, step=adjusted_step)
+                    epoch_loss += flushed.get("unet/loss", 0.0) * cfg.log_interval / spe
+
+            self.logger.log_metric("unet/epoch_loss", epoch_loss, step=epoch)
+            path = self.save(epoch)
+            self.logger.log_console(f"Saved checkpoint {path}")

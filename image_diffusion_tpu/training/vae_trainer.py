@@ -1,0 +1,393 @@
+"""Stage-1 adversarial VAE training (VQGAN-style).
+
+TPU-native re-design of reference trainers/vae_trainer.py:67-391.  Each
+step is ONE jit-compiled pure function over explicit state, compiled in two
+variants by the static `disc_active` flag (the reference's
+`adjusted_step >= disc_start` Python branch, vae_trainer.py:247):
+
+  inside the step (all on device):
+    u8 -> [-1, 1] normalize + random horizontal flip (augmentation moves
+    on-device; batches cross PCIe as uint8),
+    VAE forward (KL reparam via rng, or VQ with EMA codebook mutation),
+    x_hat clamped to [-1, 1],
+    (1) discriminator update: d_loss(bce/mse/hinge) on detached fakes vs
+        reals, grad-clip, Adam — BatchNorm batch stats threaded through the
+        two passes in reference order (fake, real),
+    (2) generator update: percept(LPIPS) + recon(MSE+L1) + prior(KL/VQ)
+        (+ g_loss through the *updated* discriminator — pass 3, matching
+        the reference ordering), grad-clip, Adam.
+
+  The generator grad re-evaluates the VAE forward with the same rng, so the
+  two forwards are identical subcomputations XLA can share; semantics match
+  the reference's single-forward + two-backward structure.
+
+Optimizer parity: two Adams at the config lr; only the VAE optimizer gets
+the linear warmup (the reference writes warmed lr into vae_optim only,
+vae_trainer.py:203-211).  bf16 compute needs no GradScaler.
+
+Under a data mesh this code is global-view: batch sharded on 'data', params
+replicated, XLA all-reduces gradients, BatchNorm batch stats, and the VQ
+codebook's cluster statistics over ICI — the EMA update the reference could
+not even grad-accumulate through (vae_trainer.py:230-234) parallelizes
+cleanly because the statistics are global-sum-then-update.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from ..core import checkpoint as ckpt
+from ..core.config import VAEConfig
+from ..core.logging import BasicLogger
+from ..core.metrics import MetricHolder
+from ..core.rng import epoch_key, numpy_seed, root_key
+from ..models import Discriminator, build_vae
+from ..parallel.mesh import replicate
+from .data import ArrayDataset, epoch_batches, steps_per_epoch
+from .diffusion_trainer import make_optimizer, warmup_schedule
+from .losses import D_LOSSES, G_LOSSES, recon_loss
+
+
+class VAETrainState(struct.PyTreeNode):
+    step: jax.Array
+    vae_params: Any
+    vae_opt: Any
+    codebook: Any  # None for KL
+    disc_params: Any
+    disc_stats: Any
+    disc_opt: Any
+
+
+def normalize_batch(x: jax.Array, flip_rng: jax.Array | None) -> jax.Array:
+    """uint8 HWC -> [-1, 1] fp32 (+ random horizontal flip when rng given).
+
+    Mirrors the reference train transform chain u8/255 -> Normalize(.5,.5)
+    -> RandomHorizontalFlip(p=.5) (reference scripts/train_vae.py:63-77),
+    executed on device.
+    """
+    x = x.astype(jnp.float32) / 255.0
+    x = (x - 0.5) / 0.5
+    if flip_rng is not None:
+        flip = jax.random.bernoulli(flip_rng, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    return x
+
+
+def make_vae_train_step(
+    vae_model,
+    disc_model,
+    cfg: VAEConfig,
+    percept_fn: Callable | None,
+    vae_tx,
+    disc_tx,
+):
+    """Build the jitted VAE-GAN step.  `percept_fn(real, fake) -> scalar`
+    is the LPIPS hook (None -> perceptual term contributes zero)."""
+    train_cfg = cfg.train
+    is_vq = cfg.arch.bottleneck == "vq"
+    d_loss_fn = D_LOSSES[train_cfg.gan_loss]
+    g_loss_fn = G_LOSSES[train_cfg.gan_loss]
+
+    def vae_forward(vae_params, codebook, x, sample_rng):
+        variables = {"params": vae_params}
+        if is_vq:
+            variables["codebook"] = codebook
+            (x_hat, prior, perp), mut = vae_model.apply(
+                variables, x, train=True, mutable=["codebook"]
+            )
+            new_codebook = mut["codebook"]
+        else:
+            x_hat, prior, perp = vae_model.apply(
+                variables, x, sample=True, rngs={"sample": sample_rng}
+            )
+            new_codebook = codebook
+        x_hat = jnp.clip(x_hat.astype(jnp.float32), -1.0, 1.0)
+        return x_hat, prior, perp, new_codebook
+
+    def disc_apply(params, stats, x):
+        out, mut = disc_model.apply(
+            {"params": params, "batch_stats": stats}, x, train=True, mutable=["batch_stats"]
+        )
+        # tiny configs may have no BatchNorm layers at all
+        return out.astype(jnp.float32), mut.get("batch_stats", stats)
+
+    @partial(jax.jit, static_argnames=("disc_active",), donate_argnums=0)
+    def train_step(state: VAETrainState, x_u8, rng, disc_active: bool):
+        rng = jax.random.fold_in(rng, state.step)
+        k_flip, k_sample = jax.random.split(rng)
+        x = normalize_batch(x_u8, k_flip)
+
+        metrics = {}
+
+        # ---- forward for the discriminator phase (detached fakes) ----
+        x_hat_det, prior_det, perp_det, _ = vae_forward(
+            state.vae_params, state.codebook, x, k_sample
+        )
+        x_hat_det = jax.lax.stop_gradient(x_hat_det)
+        metrics["vae/prior_loss"] = prior_det
+        if is_vq:
+            metrics["vae/perplexity"] = perp_det
+
+        disc_params, disc_stats, disc_opt = state.disc_params, state.disc_stats, state.disc_opt
+
+        if disc_active:
+            def d_objective(dp):
+                out_fake, stats1 = disc_apply(dp, state.disc_stats, x_hat_det)
+                out_real, stats2 = disc_apply(dp, stats1, x)
+                d = d_loss_fn(out_fake, out_real)
+                return train_cfg.disc_weight * d, (d, out_fake, out_real, stats2)
+
+            (_, (d_loss, out_fake, out_real, disc_stats)), d_grads = jax.value_and_grad(
+                d_objective, has_aux=True
+            )(disc_params)
+            metrics["gan/d_loss"] = d_loss
+            metrics["gan/fake_acc"] = jnp.mean(jax.nn.sigmoid(out_fake) < 0.5)
+            metrics["gan/real_acc"] = jnp.mean(jax.nn.sigmoid(out_real) >= 0.5)
+            metrics["gan/disc_grad"] = optax.global_norm(d_grads)
+            updates, disc_opt = disc_tx.update(d_grads, state.disc_opt, disc_params)
+            disc_params = optax.apply_updates(disc_params, updates)
+
+        # ---- generator update (uses the just-updated discriminator) ----
+        def g_objective(vp):
+            x_hat, prior, perp, new_cb = vae_forward(vp, state.codebook, x, k_sample)
+            rl = recon_loss(x, x_hat)
+            pl = percept_fn(x, x_hat) if percept_fn is not None else jnp.float32(0.0)
+            loss = (
+                pl * train_cfg.percept_weight
+                + rl * train_cfg.recon_weight
+                + prior * train_cfg.prior_weight
+            )
+            aux = {"recon": rl, "percept": pl, "codebook": new_cb, "stats": disc_stats}
+            if disc_active:
+                out, stats3 = disc_apply(disc_params, disc_stats, x_hat)
+                g = g_loss_fn(out)
+                loss = loss + g * train_cfg.disc_weight
+                aux["g_loss"] = g
+                aux["stats"] = stats3
+            return loss, aux
+
+        (_, aux), g_grads = jax.value_and_grad(g_objective, has_aux=True)(state.vae_params)
+        metrics["vae/recon_loss"] = aux["recon"]
+        metrics["vae/percept_loss"] = aux["percept"]
+        metrics["vae/vae_grad"] = optax.global_norm(g_grads)
+        if disc_active:
+            metrics["gan/g_loss"] = aux["g_loss"]
+        updates, vae_opt = vae_tx.update(g_grads, state.vae_opt, state.vae_params)
+        vae_params = optax.apply_updates(state.vae_params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            vae_params=vae_params,
+            vae_opt=vae_opt,
+            codebook=aux["codebook"],
+            disc_params=disc_params,
+            disc_stats=aux["stats"],
+            disc_opt=disc_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(vae_model, disc_model, cfg: VAEConfig, percept_fn):
+    """Dev-set forward: recon/percept losses + clamped reconstructions
+    (reference trainers/vae_trainer.py:342-361)."""
+    is_vq = cfg.arch.bottleneck == "vq"
+
+    @jax.jit
+    def eval_step(vae_params, codebook, x_u8, rng):
+        x = normalize_batch(x_u8, None)
+        variables = {"params": vae_params}
+        if is_vq:
+            variables["codebook"] = codebook
+            x_hat, _, perp = vae_model.apply(variables, x, train=False)
+        else:
+            x_hat, _, perp = vae_model.apply(
+                variables, x, sample=True, rngs={"sample": rng}
+            )
+        x_hat = jnp.clip(x_hat.astype(jnp.float32), -1.0, 1.0)
+        rl = recon_loss(x, x_hat)
+        pl = percept_fn(x, x_hat) if percept_fn is not None else jnp.float32(0.0)
+        return x_hat, rl, pl, perp
+
+    return eval_step
+
+
+class VAETrainer:
+    """Host orchestration for stage-1 training."""
+
+    def __init__(
+        self,
+        config: VAEConfig,
+        train_set: ArrayDataset,
+        dev_set: ArrayDataset | None,
+        logger: BasicLogger,
+        holder: MetricHolder,
+        mesh: Mesh | None = None,
+        checkpoint: str | None = None,
+        run_name: str = "vae",
+        percept_fn: Callable | None = None,
+        fid_fn: Callable | None = None,
+    ):
+        self.cfg = config
+        self.train_set = train_set
+        self.dev_set = dev_set
+        self.logger = logger
+        self.holder = holder
+        self.mesh = mesh
+        self.run_name = run_name
+        self.fid_fn = fid_fn
+
+        dtype = config.train.compute_dtype
+        self.vae = build_vae(config.arch, dtype=dtype)
+        self.disc = Discriminator(channels=config.train.disc_channels, dtype=dtype)
+
+        self.vae_tx = make_optimizer(
+            config.train.learning_rate, config.train.warmup_steps, config.train.clip_grad
+        )
+        # reference updates only the VAE optimizer's lr (vae_trainer.py:210)
+        self.disc_tx = make_optimizer(config.train.learning_rate, 0, config.train.clip_grad)
+        self.lr_fn = warmup_schedule(config.train.learning_rate, config.train.warmup_steps)
+
+        res = config.arch.init_resolution
+        x0 = jnp.zeros((1, res, res, config.arch.in_channels), jnp.float32)
+        vae_vars = self.vae.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)}, x0
+        )
+        disc_vars = self.disc.init(jax.random.key(2), x0, train=False)
+
+        self.state = VAETrainState(
+            step=jnp.zeros((), jnp.int32),
+            vae_params=vae_vars["params"],
+            vae_opt=self.vae_tx.init(vae_vars["params"]),
+            codebook=vae_vars.get("codebook"),
+            disc_params=disc_vars["params"],
+            disc_stats=disc_vars.get("batch_stats", {}),
+            disc_opt=self.disc_tx.init(disc_vars["params"]),
+        )
+        if mesh is not None:
+            self.state = replicate(mesh, self.state)
+
+        n = lambda t: sum(x.size for x in jax.tree.leaves(t))
+        logger.log_console(f"VAE has {n(vae_vars['params']):,} params.")
+        logger.log_console(f"Discriminator has {n(disc_vars['params']):,} params.")
+
+        self.curr_epoch = 0
+        if checkpoint is not None:
+            trees, meta = ckpt.load_checkpoint(checkpoint)
+            self.state = self.state.replace(
+                step=jnp.asarray(trees["extra"]["step"], jnp.int32),
+                vae_params=ckpt.restore_into(self.state.vae_params, trees["vae"]),
+                vae_opt=ckpt.restore_into(self.state.vae_opt, trees["vae_optim"]),
+                codebook=(
+                    ckpt.restore_into(self.state.codebook, trees["codebook"])
+                    if self.state.codebook is not None
+                    else None
+                ),
+                disc_params=ckpt.restore_into(self.state.disc_params, trees["disc"]),
+                disc_stats=ckpt.restore_into(self.state.disc_stats, trees["disc_stats"]),
+                disc_opt=ckpt.restore_into(self.state.disc_opt, trees["disc_optim"]),
+            )
+            if mesh is not None:
+                self.state = replicate(mesh, self.state)
+            self.curr_epoch = int(meta["epoch"]) + 1
+            logger.log_console(f"Loading model checkpoint from {checkpoint}")
+        else:
+            logger.log_console("No checkpoint provided. Training from scratch.")
+
+        self.train_step = make_vae_train_step(
+            self.vae, self.disc, config, percept_fn, self.vae_tx, self.disc_tx
+        )
+        self.eval_step = make_eval_step(self.vae, self.disc, config, percept_fn)
+
+    def save(self, epoch: int, path: str | None = None) -> str:
+        if path is None:
+            name = f"vae-epoch-{epoch:02}.ckpt"
+            path = os.path.join(self.cfg.train.checkpoints_dir, self.run_name, name)
+        trees = dict(
+            vae=self.state.vae_params,
+            disc=self.state.disc_params,
+            disc_stats=self.state.disc_stats,
+            vae_optim=self.state.vae_opt,
+            disc_optim=self.state.disc_opt,
+            extra={"step": np.asarray(self.state.step)},
+        )
+        if self.state.codebook is not None:
+            trees["codebook"] = self.state.codebook
+        ckpt.save_checkpoint(path, architecture=self.cfg.arch.to_dict(), epoch=epoch, **trees)
+        return path
+
+    def train(self) -> None:
+        cfg = self.cfg.train
+        self.logger.log_params(
+            lr=cfg.learning_rate,
+            disc_weight=cfg.disc_weight,
+            disc_start=cfg.disc_start,
+            loss=cfg.gan_loss,
+        )
+        key = root_key(cfg.seed, offset=cfg.epochs)
+        spe = steps_per_epoch(self.train_set, cfg.batch_size)
+
+        for epoch in range(self.curr_epoch, cfg.epochs):
+            ekey = epoch_key(key, epoch)
+            t_last = time.time()
+            for step, (x,) in enumerate(
+                epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey))
+            ):
+                adjusted_step = epoch * spe + step
+                disc_active = adjusted_step >= cfg.disc_start
+                self.state, metrics = self.train_step(
+                    self.state, x, ekey, disc_active=disc_active
+                )
+                self.holder.store_dict(metrics)
+
+                if (adjusted_step + 1) % cfg.log_interval == 0:
+                    flushed = self.holder.flush()
+                    now = time.time()
+                    flushed["util/imgs_per_sec"] = (
+                        cfg.log_interval * cfg.batch_size / (now - t_last)
+                    )
+                    t_last = now
+                    self.logger.log_metrics(flushed, step=adjusted_step)
+
+            if self.dev_set is not None:
+                self._evaluate(epoch, ekey)
+
+            path = self.save(epoch)
+            self.logger.log_console(f"Saved checkpoint {path}")
+
+    def _evaluate(self, epoch: int, key) -> None:
+        cfg = self.cfg.train
+        recon_dev, percept_dev, perp_dev, batches = 0.0, 0.0, 0.0, 0
+        if self.fid_fn is not None:
+            self.fid_fn.reset_fake()
+        for (x,) in epoch_batches(self.dev_set, cfg.batch_size, self.mesh, None):
+            x_hat, rl, pl, perp = self.eval_step(
+                self.state.vae_params, self.state.codebook, x, key
+            )
+            recon_dev += float(rl)
+            percept_dev += float(pl)
+            perp_dev += float(perp)
+            if self.fid_fn is not None:
+                self.fid_fn.update_fake((x_hat + 1.0) / 2.0)
+                self.fid_fn.update_real_once(
+                    (normalize_batch(x, None) + 1.0) / 2.0
+                )
+            batches += 1
+        if batches:
+            self.logger.log_metric("dev/recon_loss", recon_dev / batches, step=epoch)
+            self.logger.log_metric("dev/percept_loss", percept_dev / batches, step=epoch)
+            if self.cfg.arch.bottleneck == "vq":
+                self.logger.log_metric("dev/perplexity", perp_dev / batches, step=epoch)
+        if self.fid_fn is not None:
+            self.logger.log_metric("dev/FID", self.fid_fn.compute(), step=epoch)

@@ -1,0 +1,73 @@
+"""Pallas kernels vs XLA references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_diffusion_tpu.ops.pallas.attention import (
+    attention,
+    flash_attention,
+    reference_attention,
+)
+from image_diffusion_tpu.ops.pallas.groupnorm import (
+    fits_vmem,
+    groupnorm_silu,
+    reference_groupnorm_silu,
+)
+
+
+@pytest.mark.parametrize("n,d", [(16, 64), (64, 64), (256, 48), (1024, 16)])
+def test_flash_attention_matches_reference(n, d):
+    """The workload's four latent attention shapes (SURVEY.md section 3.5)."""
+    key = jax.random.key(0)
+    B, H = 2, 2
+    q = jax.random.normal(key, (B, H, n, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, n, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, n, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    ref = jax.jit(lambda q, k, v: reference_attention(q, k, v, scale))(q, k, v)
+    got = jax.jit(
+        lambda q, k, v: flash_attention(q, k, v, scale, min(256, n), True)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_wrapper_pads_head_dim():
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (1, 2, 64, 16), jnp.float32)
+    ref = reference_attention(q, q, q, 1.0 / 4.0)
+    got = jax.jit(lambda q: attention(q, q, q, head_dim=16, interpret=True))(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_gradient_matches_reference():
+    key = jax.random.key(5)
+    q = jax.random.normal(key, (1, 1, 64, 64), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 64, 64), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 1, 64, 64), jnp.float32)
+    scale = 0.125
+
+    g_ref = jax.jit(jax.grad(lambda q: jnp.sum(reference_attention(q, k, v, scale) ** 2)))(q)
+    g_got = jax.jit(
+        jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, scale, 64, True) ** 2))
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,groups", [((2, 8, 8, 32), 8), ((1, 16, 16, 16), 4)])
+def test_groupnorm_silu_matches_reference(shape, groups):
+    key = jax.random.key(0)
+    x = jax.random.normal(key, shape, jnp.float32) * 3 + 1
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (shape[-1],)) * 0.2 + 1
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (shape[-1],)) * 0.1
+
+    ref = jax.jit(lambda x: reference_groupnorm_silu(x, scale, bias, groups))(x)
+    got = jax.jit(lambda x: groupnorm_silu(x, scale, bias, groups, interpret=True))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fits_vmem_gate():
+    assert fits_vmem((1, 32, 32, 512), jnp.bfloat16)
+    assert not fits_vmem((1, 128, 128, 256), jnp.float32)
