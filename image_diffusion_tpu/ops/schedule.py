@@ -126,6 +126,36 @@ def posterior_sigma(sched: Schedule, t: jax.Array) -> jax.Array:
     return jnp.where(t == 0, 0.0, jnp.sqrt(var))
 
 
+def ddim_step(
+    sched: Schedule,
+    xt: jax.Array,
+    eps_hat: jax.Array,
+    t: jax.Array,
+    t_prev: jax.Array,
+    noise: jax.Array,
+    eta: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """One DDIM step x_t -> x_{t_prev} (Song et al. 2020).
+
+    Capability beyond the reference (which only ships the 1000-step DDPM
+    ancestral sampler): deterministic (eta=0) or stochastic sub-sequence
+    sampling, enabling e.g. 50-step generation.  t_prev < 0 means "final
+    step to x0" (acp_prev = 1).
+    """
+    acp_t = _bcast(sched.alpha_cum_prod[t], xt.ndim)
+    acp_prev = jnp.where(
+        _bcast(t_prev, xt.ndim) >= 0,
+        _bcast(sched.alpha_cum_prod[jnp.maximum(t_prev, 0)], xt.ndim),
+        1.0,
+    )
+    x0 = (xt - jnp.sqrt(1.0 - acp_t) * eps_hat) / jnp.sqrt(acp_t)
+    x0 = jnp.clip(x0, -1.0, 1.0)
+    sigma = eta * jnp.sqrt((1 - acp_prev) / (1 - acp_t)) * jnp.sqrt(1 - acp_t / acp_prev)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - acp_prev - sigma**2, 0.0)) * eps_hat
+    x_prev = jnp.sqrt(acp_prev) * x0 + dir_xt + sigma * noise
+    return x_prev, x0
+
+
 def ddpm_step(
     sched: Schedule,
     xt: jax.Array,

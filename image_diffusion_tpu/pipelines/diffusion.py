@@ -35,7 +35,7 @@ from ..models import build_unet, build_vae
 from ..ops import schedule as S
 
 
-@partial(jax.jit, static_argnames=("unet_model", "vae_model", "quantize"))
+@partial(jax.jit, static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta"))
 def _sample_loop(
     unet_model,
     unet_variables,
@@ -47,6 +47,9 @@ def _sample_loop(
     cfg_scales: jax.Array,  # (B,) fp32
     key: jax.Array,
     quantize: bool,
+    sampler: str = "ddpm",
+    timesteps: jax.Array | None = None,  # descending subsequence for ddim
+    eta: float = 0.0,
 ) -> jax.Array:
     B = x_init.shape[0]
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
@@ -55,18 +58,38 @@ def _sample_loop(
     ctx = jnp.concatenate([class_labels, jnp.zeros_like(class_labels)])
     mask = jnp.concatenate([jnp.ones((B, 1)), jnp.zeros((B, 1))])
 
-    def step(xt, t):
+    def eps_fn(xt, t):
         x2 = jnp.concatenate([xt, xt])
         t2 = jnp.full((2 * B,), t, jnp.int32)
         eps2 = unet_model.apply(unet_variables, x2, t2, ctx, mask)
         eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2)
-        eps_hat = eps_u + scales * (eps_c - eps_u)
-        z = jax.random.normal(jax.random.fold_in(key, t), xt.shape, jnp.float32)
-        x_prev, _ = S.ddpm_step(sched, xt, eps_hat, jnp.full((B,), t), z)
-        return x_prev, None
+        return eps_u + scales * (eps_c - eps_u)
 
-    ts = jnp.arange(sched.num_steps - 1, -1, -1)
-    x0, _ = jax.lax.scan(step, x_init, ts)
+    if sampler == "ddpm":
+        def step(xt, t):
+            eps_hat = eps_fn(xt, t)
+            z = jax.random.normal(jax.random.fold_in(key, t), xt.shape, jnp.float32)
+            x_prev, _ = S.ddpm_step(sched, xt, eps_hat, jnp.full((B,), t), z)
+            return x_prev, None
+
+        ts = jnp.arange(sched.num_steps - 1, -1, -1)
+        x0, _ = jax.lax.scan(step, x_init, ts)
+    elif sampler == "ddim":
+        ts = timesteps
+        ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+
+        def step(xt, t_pair):
+            t, t_prev = t_pair
+            eps_hat = eps_fn(xt, t)
+            z = jax.random.normal(jax.random.fold_in(key, t), xt.shape, jnp.float32)
+            x_prev, _ = S.ddim_step(
+                sched, xt, eps_hat, jnp.full((B,), t), jnp.full((B,), t_prev), z, eta
+            )
+            return x_prev, None
+
+        x0, _ = jax.lax.scan(step, x_init, (ts, ts_prev))
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
 
     imgs = vae_model.apply(vae_variables, x0, quantize, method="decode")
     return imgs.astype(jnp.float32)
@@ -112,12 +135,19 @@ class DiffusionPipeline:
         cfg_scales: Sequence[float] | float,
         num_images: int = 10,
         seed: int | None = None,
+        sampler: str = "ddpm",
+        num_inference_steps: int | None = None,
+        eta: float = 0.0,
     ) -> jax.Array:
         """Sample a classes x scales grid -> (B, H, W, 3) images in [-1, 1].
 
         list cfg_scales: every class at every scale (full cross product,
         B = n_classes * n_scales, class-major rows like the reference plot).
         scalar cfg_scales: `num_images` per class at that scale.
+
+        sampler: "ddpm" (reference-parity 1000-step ancestral) or "ddim"
+        (subsequence sampling over `num_inference_steps` with stochasticity
+        `eta` — a capability beyond the reference).
         """
         if not isinstance(cfg_scales, (list, tuple)):
             cfg_scales = [float(cfg_scales)] * num_images
@@ -133,6 +163,15 @@ class DiffusionPipeline:
         B = n_classes * n_scales
         x_init = jax.random.normal(key, (B, *self.latent_shape), jnp.float32)
 
+        timesteps = None
+        if sampler == "ddim":
+            n = num_inference_steps or 50
+            # evenly spaced descending subsequence of the training steps
+            import numpy as np
+
+            ts = np.linspace(0, self.sched.num_steps - 1, n).round().astype(np.int32)
+            timesteps = jnp.asarray(ts[::-1].copy())
+
         return _sample_loop(
             self.unet,
             self.unet_variables,
@@ -144,6 +183,9 @@ class DiffusionPipeline:
             scales,
             jax.random.fold_in(key, 1),
             self.vae_arch.bottleneck == "vq",
+            sampler,
+            timesteps,
+            eta,
         )
 
     # ------------------------------------------------------------------ io

@@ -33,6 +33,7 @@ from ..core import checkpoint as ckpt
 from ..core.config import DiffusionConfig
 from ..core.logging import BasicLogger
 from ..core.metrics import MetricHolder
+from ..core.preemption import PreemptionGuard
 from ..core.rng import epoch_key, numpy_seed, root_key
 from ..models import build_unet
 from ..models.vae import VAE
@@ -105,6 +106,7 @@ class DiffusionTrainer:
         mesh: Mesh | None = None,
         checkpoint: str | None = None,
         run_name: str = "unet",
+        param_sharding: str = "replicated",  # "replicated" | "fsdp"
     ):
         self.cfg = config
         self.train_set = train_set
@@ -112,6 +114,7 @@ class DiffusionTrainer:
         self.holder = holder
         self.mesh = mesh
         self.run_name = run_name
+        self.param_sharding = param_sharding
 
         self.model = build_unet(config.arch, dtype=config.train.compute_dtype)
         self.sched = S.make_schedule(
@@ -138,8 +141,7 @@ class DiffusionTrainer:
         self.state = train_state.TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx
         )
-        if mesh is not None:
-            self.state = replicate(mesh, self.state)
+        self.state = self._shard_state(self.state)
 
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
         logger.log_console(f"Unet has {n_params:,} params.")
@@ -153,8 +155,7 @@ class DiffusionTrainer:
                 opt_state=ckpt.restore_into(self.state.opt_state, trees["optim"]),
                 step=int(trees["step"]["step"]),
             )
-            if mesh is not None:
-                self.state = replicate(mesh, self.state)
+            self.state = self._shard_state(self.state)
             self.curr_epoch = int(meta["epoch"]) + 1
             logger.log_console(f"Loading model checkpoint from {checkpoint}")
         else:
@@ -166,6 +167,17 @@ class DiffusionTrainer:
             config.train.cond_drop_prob,
             reparametrize=(config.train.ae_type == "kl"),
         )
+
+    def _shard_state(self, state):
+        if self.mesh is None:
+            return state
+        if self.param_sharding == "fsdp":
+            from ..parallel.fsdp import shard_params_fsdp
+
+            # params + optimizer moments sharded over 'model'; scalars and
+            # indivisible leaves replicate (fsdp_spec falls back to P())
+            return shard_params_fsdp(self.mesh, state)
+        return replicate(self.mesh, state)
 
     def save(self, epoch: int, path: str | None = None) -> str:
         if path is None:
@@ -196,6 +208,7 @@ class DiffusionTrainer:
         # (reference scripts/train_diffusion.py:60-65 semantics)
         key = root_key(cfg.seed, offset=cfg.epochs)
         spe = steps_per_epoch(self.train_set, cfg.batch_size)
+        guard = PreemptionGuard()
 
         for epoch in range(self.curr_epoch, cfg.epochs):
             ekey = epoch_key(key, epoch)
@@ -220,6 +233,13 @@ class DiffusionTrainer:
                     t_last = now
                     self.logger.log_metrics(flushed, step=adjusted_step)
                     epoch_loss += flushed.get("unet/loss", 0.0) * cfg.log_interval / spe
+
+                if guard.triggered:
+                    path = self.save(max(epoch - 1, 0))
+                    self.logger.log_console(
+                        f"SIGTERM: saved preemption checkpoint {path}; exiting."
+                    )
+                    return
 
             self.logger.log_metric("unet/epoch_loss", epoch_loss, step=epoch)
             path = self.save(epoch)

@@ -50,6 +50,7 @@ from ..core import checkpoint as ckpt
 from ..core.config import VAEConfig
 from ..core.logging import BasicLogger
 from ..core.metrics import MetricHolder
+from ..core.preemption import PreemptionGuard
 from ..core.rng import epoch_key, numpy_seed, root_key
 from ..models import Discriminator, build_vae
 from ..parallel.mesh import replicate
@@ -310,6 +311,13 @@ class VAETrainer:
         )
         self.eval_step = make_eval_step(self.vae, self.disc, config, percept_fn)
 
+        # fixed plot set for periodic reconstruction figures
+        # (reference trainers/vae_trainer.py:214-225)
+        self.plot_images = None
+        plot_path = getattr(config.train, "plot_set", None)
+        if plot_path and os.path.exists(plot_path):
+            self.plot_images = np.load(plot_path)[:4]
+
     def save(self, epoch: int, path: str | None = None) -> str:
         if path is None:
             name = f"vae-epoch-{epoch:02}.ckpt"
@@ -337,6 +345,7 @@ class VAETrainer:
         )
         key = root_key(cfg.seed, offset=cfg.epochs)
         spe = steps_per_epoch(self.train_set, cfg.batch_size)
+        guard = PreemptionGuard()
 
         for epoch in range(self.curr_epoch, cfg.epochs):
             ekey = epoch_key(key, epoch)
@@ -346,6 +355,10 @@ class VAETrainer:
             ):
                 adjusted_step = epoch * spe + step
                 disc_active = adjusted_step >= cfg.disc_start
+
+                if self.plot_images is not None and (adjusted_step + 1) % cfg.log_imgs_freq == 0:
+                    self._log_reconstructions(adjusted_step, ekey)
+
                 self.state, metrics = self.train_step(
                     self.state, x, ekey, disc_active=disc_active
                 )
@@ -360,11 +373,30 @@ class VAETrainer:
                     t_last = now
                     self.logger.log_metrics(flushed, step=adjusted_step)
 
+                if guard.triggered:
+                    path = self.save(max(epoch - 1, 0))
+                    self.logger.log_console(
+                        f"SIGTERM: saved preemption checkpoint {path}; exiting."
+                    )
+                    return
+
             if self.dev_set is not None:
                 self._evaluate(epoch, ekey)
 
             path = self.save(epoch)
             self.logger.log_console(f"Saved checkpoint {path}")
+
+    def _log_reconstructions(self, step: int, key) -> None:
+        """Original-vs-reconstruction figure on the fixed plot set
+        (reference trainers/vae_trainer.py:214-225)."""
+        from ..core.plotting import plot_reconstructions
+
+        x = jnp.asarray(self.plot_images)
+        x_hat, _, _, _ = self.eval_step(self.state.vae_params, self.state.codebook, x, key)
+        fig = plot_reconstructions(
+            np.asarray(normalize_batch(x, None)), np.asarray(x_hat)
+        )
+        self.logger.log_figure(f"plots/{step}_recon.png", fig)
 
     def _evaluate(self, epoch: int, key) -> None:
         cfg = self.cfg.train

@@ -27,6 +27,11 @@ def parse_args():
                    help="Half-open range of CFG scales, e.g. --cfg 1 10 -> scales 1..9.")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--out", type=str, default="./out.png")
+    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+                   help="ddpm: reference-parity 1000-step ancestral sampler; "
+                        "ddim: fast subsequence sampling (see --steps/--eta).")
+    p.add_argument("--steps", type=int, default=50, help="DDIM inference steps.")
+    p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
     p.add_argument("--use-cpu", action="store_true")
     return p.parse_args()
 
@@ -50,7 +55,12 @@ def main():
     t0 = time.time()
     # np.asarray is the completion barrier: on the experimental axon TPU
     # platform block_until_ready returns before execution finishes.
-    images = np.asarray(pipeline.sample(cfg_scales, seed=args.seed))
+    images = np.asarray(
+        pipeline.sample(
+            cfg_scales, seed=args.seed, sampler=args.sampler,
+            num_inference_steps=args.steps, eta=args.eta,
+        )
+    )
     dt = time.time() - t0
     logging.info(f"Sampled {n} images in {dt:.2f}s ({n / dt:.2f} img/s).")
 

@@ -20,6 +20,8 @@ def parse_args():
     p.add_argument("--comment", type=str, default=None)
     p.add_argument("--no-mlflow", action="store_true")
     p.add_argument("--use-cpu", action="store_true", help="Force the CPU backend (debugging).")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans (fail fast on NaN/Inf).")
     p.add_argument("--data-parallel", type=int, default=None)
     return p.parse_args()
 
@@ -28,6 +30,8 @@ def main():
     args = parse_args()
     if args.use_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.debug_nans:
+        os.environ["JAX_DEBUG_NANS"] = "True"
 
     import numpy as np
 

@@ -21,6 +21,8 @@ def parse_args():
     p.add_argument("--comment", type=str, default=None)
     p.add_argument("--no-mlflow", action="store_true")
     p.add_argument("--use-cpu", action="store_true", help="Force the CPU backend (debugging).")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans (fail fast on NaN/Inf).")
     p.add_argument("--lpips-weights", type=str, default=None,
                    help="Path to torch-format LPIPS/VGG16 weights (optional; "
                         "the perceptual term is dropped when absent).")
@@ -33,6 +35,8 @@ def main():
     args = parse_args()
     if args.use_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.debug_nans:
+        os.environ["JAX_DEBUG_NANS"] = "True"
 
     # heavyweight imports after backend selection
     from image_diffusion_tpu.core.config import VAEConfig

@@ -103,3 +103,59 @@ def test_vq_codebook_ema_global_under_sharding():
             np.asarray(mut_shard["codebook"][name]),
             atol=1e-5,
         )
+
+
+def test_fsdp_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from image_diffusion_tpu.parallel.fsdp import fsdp_spec
+
+    assert fsdp_spec((3, 3, 128, 256), 2) == P(None, None, None, "model")
+    assert fsdp_spec((256,), 2) == P("model")
+    assert fsdp_spec((3,), 2) == P()   # indivisible -> replicate
+    assert fsdp_spec((), 2) == P()     # scalar
+    assert fsdp_spec((8, 8), 1) == P()
+
+
+def test_fsdp_sharded_step_matches_replicated():
+    """dp x fsdp mesh must produce the same numbers as plain dp."""
+    import numpy as np
+
+    from image_diffusion_tpu.core.config import (
+        DiffusionConfig,
+        DiffusionTrainConfig,
+        ScheduleConfig,
+        UNetArch,
+    )
+    from image_diffusion_tpu.core.logging import BasicLogger
+    from image_diffusion_tpu.core.metrics import MetricHolder
+    from image_diffusion_tpu.training.data import ArrayDataset
+    from image_diffusion_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = DiffusionConfig(
+        arch=UNetArch(z_dim=3, channels=(8, 16), mid_channels=(16, 16), time_dim=16,
+                      num_res_layers=1, num_heads=2, num_groups=4, num_classes=3),
+        schedule=ScheduleConfig(num_steps=50),
+        train=DiffusionTrainConfig(batch_size=8, epochs=1, precision="fp32", seed=0),
+    )
+    rng = np.random.default_rng(0)
+    latents = rng.normal(size=(8, 8, 8, 6)).astype(np.float16)
+    labels = rng.integers(0, 3, size=(8,)).astype(np.uint8)
+    ds = ArrayDataset(latents, labels)
+    logger = BasicLogger("/tmp/idtpu_test", "f", no_mlflow=True, log_interval=1)
+
+    mesh = make_mesh(data=4, model=2)
+    tr_fsdp = DiffusionTrainer(
+        cfg, ds, logger, MetricHolder(1), mesh=mesh, param_sharding="fsdp"
+    )
+    tr_plain = DiffusionTrainer(cfg, ds, logger, MetricHolder(1), mesh=None)
+
+    key = jax.random.key(0)
+    xb, cb = jnp.asarray(latents), jnp.asarray(labels)
+    xs, cs = shard_batch(mesh, (xb, cb))
+
+    s1, m1 = tr_fsdp.train_step(tr_fsdp.state, xs, cs, key)
+    s2, m2 = tr_plain.train_step(tr_plain.state, xb, cb, key)
+    np.testing.assert_allclose(float(m1["unet/loss"]), float(m2["unet/loss"]), rtol=1e-5)
+    l1, l2 = jax.tree.leaves(s1.params)[0], jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
