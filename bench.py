@@ -61,13 +61,19 @@ def main():
     cfg_scales = list(range(1, 10))  # 9 scales x 3 classes = 27 images
     n_images = len(cfg_scales) * len(pipeline.classes)
 
+    mesh = None
+    if jax.device_count() > 1:
+        from image_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # shard the grid batch over all chips
+
     # compile (cached for the timed runs)
-    wait(pipeline.sample(cfg_scales, seed=0))
+    wait(pipeline.sample(cfg_scales, seed=0, mesh=mesh))
 
     times = []
     for i in range(2):
         t0 = time.time()
-        wait(pipeline.sample(cfg_scales, seed=1 + i))
+        wait(pipeline.sample(cfg_scales, seed=1 + i, mesh=mesh))
         times.append(time.time() - t0)
     dt = min(times)
 

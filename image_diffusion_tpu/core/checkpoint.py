@@ -58,6 +58,41 @@ def save_checkpoint(path: str, architecture: dict | None = None, epoch: int | No
     os.replace(tmp, path)  # atomic: preemption-safe
 
 
+_async_state: dict = {"thread": None}
+
+
+def save_checkpoint_async(path: str, architecture: dict | None = None, epoch: int | None = None, **trees) -> None:
+    """Non-blocking save: device->host transfer happens on the caller's
+    thread (device access is not thread-safe on all backends), then
+    serialization + file IO run on a background thread so training never
+    stalls on checkpoint writes.  A subsequent call joins the previous one
+    (at most one write in flight — bounded memory)."""
+    import threading
+
+    host_trees = {
+        name: jax.tree.map(lambda x: np.asarray(x), tree)
+        for name, tree in trees.items()
+        if tree is not None
+    }
+    prev = _async_state["thread"]
+    if prev is not None:
+        prev.join()
+
+    def work():
+        save_checkpoint(path, architecture=architecture, epoch=epoch, **host_trees)
+
+    t = threading.Thread(target=work, daemon=False)
+    t.start()
+    _async_state["thread"] = t
+
+
+def wait_for_async_saves() -> None:
+    t = _async_state["thread"]
+    if t is not None:
+        t.join()
+        _async_state["thread"] = None
+
+
 def load_checkpoint(path: str) -> tuple[dict, dict]:
     """-> (trees, meta) where meta = {'architecture', 'epoch', 'trees'}."""
     with open(path, "rb") as f:

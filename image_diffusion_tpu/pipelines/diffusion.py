@@ -138,6 +138,7 @@ class DiffusionPipeline:
         sampler: str = "ddpm",
         num_inference_steps: int | None = None,
         eta: float = 0.0,
+        mesh=None,
     ) -> jax.Array:
         """Sample a classes x scales grid -> (B, H, W, 3) images in [-1, 1].
 
@@ -148,6 +149,11 @@ class DiffusionPipeline:
         sampler: "ddpm" (reference-parity 1000-step ancestral) or "ddim"
         (subsequence sampling over `num_inference_steps` with stochasticity
         `eta` — a capability beyond the reference).
+
+        mesh: optional ('data', ...) jax Mesh — the image batch is sharded
+        over 'data' (padded to a multiple of the axis size) and the weights
+        replicated, so the whole grid samples in parallel across chips; on
+        a v5e-8 the 27-image grid runs as ceil(27/8)*8 = 32 sharded rows.
         """
         if not isinstance(cfg_scales, (list, tuple)):
             cfg_scales = [float(cfg_scales)] * num_images
@@ -172,11 +178,28 @@ class DiffusionPipeline:
             ts = np.linspace(0, self.sched.num_steps - 1, n).round().astype(np.int32)
             timesteps = jnp.asarray(ts[::-1].copy())
 
-        return _sample_loop(
+        unet_vars, vae_vars = self.unet_variables, self.vae_variables
+        n_pad = 0
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicate
+
+            d = mesh.shape["data"]
+            n_pad = (-B) % d
+            if n_pad:
+                pad = lambda a: jnp.concatenate([a, a[:n_pad]])
+                x_init, labels, scales = pad(x_init), pad(labels), pad(scales)
+            sh = batch_sharding(mesh)
+            x_init = jax.device_put(x_init, sh)
+            labels = jax.device_put(labels, sh)
+            scales = jax.device_put(scales, sh)
+            unet_vars = replicate(mesh, unet_vars)
+            vae_vars = replicate(mesh, vae_vars)
+
+        imgs = _sample_loop(
             self.unet,
-            self.unet_variables,
+            unet_vars,
             self.vae,
-            self.vae_variables,
+            vae_vars,
             self.sched,
             x_init,
             labels,
@@ -187,6 +210,7 @@ class DiffusionPipeline:
             timesteps,
             eta,
         )
+        return imgs[:B] if n_pad else imgs
 
     # ------------------------------------------------------------------ io
 

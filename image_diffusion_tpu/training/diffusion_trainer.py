@@ -179,11 +179,12 @@ class DiffusionTrainer:
             return shard_params_fsdp(self.mesh, state)
         return replicate(self.mesh, state)
 
-    def save(self, epoch: int, path: str | None = None) -> str:
+    def save(self, epoch: int, path: str | None = None, asynchronous: bool = False) -> str:
         if path is None:
             name = f"unet-epoch-{epoch:02}.ckpt"
             path = os.path.join(self.cfg.train.checkpoints_dir, self.run_name, name)
-        ckpt.save_checkpoint(
+        save_fn = ckpt.save_checkpoint_async if asynchronous else ckpt.save_checkpoint
+        save_fn(
             path,
             architecture=self.cfg.arch.to_dict(),
             epoch=epoch,
@@ -242,5 +243,6 @@ class DiffusionTrainer:
                     return
 
             self.logger.log_metric("unet/epoch_loss", epoch_loss, step=epoch)
-            path = self.save(epoch)
-            self.logger.log_console(f"Saved checkpoint {path}")
+            path = self.save(epoch, asynchronous=True)
+            self.logger.log_console(f"Saving checkpoint {path} (async)")
+        ckpt.wait_for_async_saves()

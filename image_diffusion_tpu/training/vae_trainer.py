@@ -318,7 +318,7 @@ class VAETrainer:
         if plot_path and os.path.exists(plot_path):
             self.plot_images = np.load(plot_path)[:4]
 
-    def save(self, epoch: int, path: str | None = None) -> str:
+    def save(self, epoch: int, path: str | None = None, asynchronous: bool = False) -> str:
         if path is None:
             name = f"vae-epoch-{epoch:02}.ckpt"
             path = os.path.join(self.cfg.train.checkpoints_dir, self.run_name, name)
@@ -332,7 +332,8 @@ class VAETrainer:
         )
         if self.state.codebook is not None:
             trees["codebook"] = self.state.codebook
-        ckpt.save_checkpoint(path, architecture=self.cfg.arch.to_dict(), epoch=epoch, **trees)
+        save_fn = ckpt.save_checkpoint_async if asynchronous else ckpt.save_checkpoint
+        save_fn(path, architecture=self.cfg.arch.to_dict(), epoch=epoch, **trees)
         return path
 
     def train(self) -> None:
@@ -383,8 +384,9 @@ class VAETrainer:
             if self.dev_set is not None:
                 self._evaluate(epoch, ekey)
 
-            path = self.save(epoch)
-            self.logger.log_console(f"Saved checkpoint {path}")
+            path = self.save(epoch, asynchronous=True)
+            self.logger.log_console(f"Saving checkpoint {path} (async)")
+        ckpt.wait_for_async_saves()
 
     def _log_reconstructions(self, step: int, key) -> None:
         """Original-vs-reconstruction figure on the fixed plot set

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Generative FID evaluation — the metric the reference could not measure
+("sampling too slow", reference README.md:42).
+
+Samples N images from a Diffusion bundle (DDIM by default: ~20x fewer UNet
+evaluations than the 1000-step ancestral path) and computes FID against a
+real-image .npy blob using the InceptionV3 pool3 features (weights from a
+local torch-format file — zero-egress environments must provide one).
+
+    python scripts/eval_fid.py checkpoints/bundle.ckpt \
+        --real ./data/vqgan/dev.npy --fid-weights ./inception_v3.pt \
+        --num-images 2700 --cfg 3 --sampler ddim --steps 50
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(levelname)s : %(message)s",
+    datefmt="[%H:%M:%S]",
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("model", type=str, help="Diffusion bundle checkpoint.")
+    p.add_argument("--real", type=str, required=True, help=".npy of real uint8 images (NHWC).")
+    p.add_argument("--fid-weights", type=str, required=True,
+                   help="torch-format InceptionV3 weights (torchvision naming).")
+    p.add_argument("--num-images", type=int, default=2700)
+    p.add_argument("--cfg", type=float, default=3.0, help="Guidance scale.")
+    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddim")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--batch", type=int, default=64, help="Images per sampling call.")
+    p.add_argument("--max-real", type=int, default=10000)
+    p.add_argument("--use-cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.use_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import numpy as np
+
+    from image_diffusion_tpu.models.fid import FID
+    from image_diffusion_tpu.models.inception import try_load_inception_fid
+    from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+    feature_fn = try_load_inception_fid(args.fid_weights)
+    if feature_fn is None:
+        raise SystemExit("FID requires InceptionV3 weights (--fid-weights).")
+    fid = FID(feature_fn, dim=2048)
+
+    pipeline = DiffusionPipeline.from_checkpoint(args.model)
+    n_classes = len(pipeline.classes)
+    per_call = max(args.batch // n_classes, 1)
+
+    logging.info("Ingesting real features...")
+    real = np.load(args.real, mmap_mode="r")
+    for i in range(0, min(len(real), args.max_real), 256):
+        fid.update_real_once(np.asarray(real[i : i + 256], np.float32) / 255.0)
+
+    logging.info(f"Sampling {args.num_images} images ({args.sampler}, {args.steps} steps)...")
+    t0 = time.time()
+    done = 0
+    seed = 0
+    while done < args.num_images:
+        imgs = pipeline.sample(
+            args.cfg, num_images=per_call, seed=seed,
+            sampler=args.sampler, num_inference_steps=args.steps, eta=args.eta,
+        )
+        imgs01 = (np.asarray(imgs) + 1.0) / 2.0
+        take = min(len(imgs01), args.num_images - done)
+        fid.update_fake(imgs01[:take])
+        done += take
+        seed += 1
+        if seed % 10 == 0:
+            logging.info(f"sampled {done}/{args.num_images}")
+    dt = time.time() - t0
+
+    score = fid.compute()
+    logging.info(
+        f"FID = {score:.3f} over {done} generated images "
+        f"({done / dt:.2f} img/s sampling)"
+    )
+    print(f"{score:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,8 @@ def parse_args():
                         "ddim: fast subsequence sampling (see --steps/--eta).")
     p.add_argument("--steps", type=int, default=50, help="DDIM inference steps.")
     p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="Shard the grid over N chips (default: all available).")
     p.add_argument("--use-cpu", action="store_true")
     return p.parse_args()
 
@@ -48,6 +50,11 @@ def main():
     from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline
 
     pipeline = DiffusionPipeline.from_checkpoint(args.model)
+    mesh = None
+    if jax.device_count() > 1 or args.data_parallel:
+        from image_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel)
     cfg_scales = list(range(args.cfg[0], args.cfg[1]))
     n = len(cfg_scales) * len(pipeline.classes)
     logging.info(f"Sampling {n} images ({len(pipeline.classes)} classes x {len(cfg_scales)} scales).")
@@ -58,7 +65,7 @@ def main():
     images = np.asarray(
         pipeline.sample(
             cfg_scales, seed=args.seed, sampler=args.sampler,
-            num_inference_steps=args.steps, eta=args.eta,
+            num_inference_steps=args.steps, eta=args.eta, mesh=mesh,
         )
     )
     dt = time.time() - t0

@@ -114,3 +114,16 @@ def test_bundle_checkpoint_roundtrip(pipeline, tmp_path):
     a = pipeline.sample(2.0, num_images=1, seed=3)
     b = restored.sample(2.0, num_images=1, seed=3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sample_sharded_over_mesh_matches_single(pipeline):
+    """Grid sampling sharded over 8 devices (with batch padding) must equal
+    unsharded output: first-B rows of a padded gaussian draw are identical,
+    and rows never interact."""
+    from image_diffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    single = pipeline.sample([1.0, 3.0], seed=5)            # B = 6
+    sharded = pipeline.sample([1.0, 3.0], seed=5, mesh=mesh)  # padded to 8
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
