@@ -214,25 +214,32 @@ class SpatialSelfAttention(nn.Module):
         k = Dense(C, dtype=self.dtype, name="to_k")(kv_tokens)
         v = Dense(C, dtype=self.dtype, name="to_v")(kv_tokens)
 
-        # (B, N, H*d) -> (B, heads, N, d); contiguous head split matches the
-        # reference einops "(h c)" convention.
-        def split(t):
-            return t.reshape(B, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
-
         from ..ops import pallas as pk
 
-        if pk.attention_enabled() and kv is None:
-            attn = pk.attention(q, k, v, head_dim=head_dim)
+        use_pallas = pk.attention_enabled() and kv is None
+        if use_pallas and C <= 128:
+            # lane-packed kernel: no head-dim padding, no head transposes —
+            # this is the dominant 32x32-grid attention (C=128, d=16), which
+            # profiled at ~half the sampler step before packing
+            attn = pk.packed_attention(q, k, v, num_heads=self.num_heads)
         else:
-            prec = prec_for(self.dtype)
-            scores = jnp.einsum(
-                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32, precision=prec
-            ) / math.sqrt(head_dim)
-            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn = jnp.einsum("bhnm,bhmd->bhnd", weights, v, precision=prec)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+            # (B, N, H*d) -> (B, heads, N, d); contiguous head split matches
+            # the reference einops "(h c)" convention.
+            def split(t):
+                return t.reshape(B, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = split(q), split(k), split(v)
+            if use_pallas:
+                ah = pk.attention(qh, kh, vh, head_dim=head_dim)
+            else:
+                prec = prec_for(self.dtype)
+                scores = jnp.einsum(
+                    "bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32,
+                    precision=prec,
+                ) / math.sqrt(head_dim)
+                weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+                ah = jnp.einsum("bhnm,bhmd->bhnd", weights, vh, precision=prec)
+            attn = ah.transpose(0, 2, 1, 3).reshape(B, H * W, C)
 
         out = Dense(C, dtype=self.dtype, name="out_proj")(attn)
         return out.reshape(B, H, W, C) + resid

@@ -15,12 +15,20 @@ from __future__ import annotations
 
 import os
 
-from .attention import attention, flash_attention, reference_attention
+from .attention import (
+    attention,
+    flash_attention,
+    packed_attention,
+    reference_attention,
+    reference_packed_attention,
+)
 from .groupnorm import fits_vmem, groupnorm_silu, reference_groupnorm_silu
 
 __all__ = [
     "attention",
     "flash_attention",
+    "packed_attention",
+    "reference_packed_attention",
     "reference_attention",
     "groupnorm_silu",
     "reference_groupnorm_silu",

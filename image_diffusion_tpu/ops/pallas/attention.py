@@ -110,6 +110,94 @@ def _bwd(scale, block_kv, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
+    """All heads of one batch row, heads PACKED in lanes (N, C), C = h*d.
+
+    Per-head scores come from a lane-masked full-width matmul:
+      S_h = (q * mask_h) @ k^T  ==  q_h @ k_h^T
+    because the masked lanes contribute zero to the contraction.  The AV
+    product against (v * mask_h) writes each head's output into its own
+    lane band, so accumulating over heads yields the packed output directly.
+    No head-dim padding (the profiler showed the pad inflating attention IO
+    8x for d=16) and no (B,N,h,d)->(B,h,N,d) transposes.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale  # (N, C)
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
+    N, C = q.shape
+    d = C // num_heads
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    acc = jnp.zeros((N, C), jnp.float32)
+    for h in range(num_heads):
+        mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, C)
+        qh = (q * mask).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, N)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        vh = v * mask
+        acc = acc + jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
+    """Packed-lane self-attention: q/k/v (B, N, C) -> (B, N, C).
+
+    Used for the lane-width-or-narrower channel counts (C <= 128) where the
+    per-head padded layout wastes most of the MXU and HBM traffic; larger C
+    goes through `attention` (the blockwise kernel)."""
+    B, N, C = q.shape
+    scale = 1.0 / math.sqrt(C // num_heads)
+    return _packed_forward(q, k, v, num_heads, scale, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
+    B, N, C = q.shape
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, num_heads=num_heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def reference_packed_attention(q, k, v, num_heads: int, scale: float):
+    """XLA reference for the packed layout (head split + sdpa + merge)."""
+    B, N, C = q.shape
+    d = C // num_heads
+
+    def split(t):
+        return t.reshape(B, N, num_heads, d).transpose(0, 2, 1, 3)
+
+    out = reference_attention(split(q), split(k), split(v), scale)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+def _packed_fwd(q, k, v, num_heads, scale, interpret):
+    return _packed_forward(q, k, v, num_heads, scale, interpret), (q, k, v)
+
+
+def _packed_bwd(num_heads, scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: reference_packed_attention(q, k, v, num_heads, scale), q, k, v
+    )
+    return vjp(g)
+
+
+_packed_forward.defvjp(_packed_fwd, _packed_bwd)
+
+
 def attention(q, k, v, *, head_dim: int, interpret: bool = False):
     """Shape-adaptive entry: pads D to lane width and picks a KV block."""
     scale = 1.0 / math.sqrt(head_dim)

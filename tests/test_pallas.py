@@ -71,3 +71,40 @@ def test_groupnorm_silu_matches_reference(shape, groups):
 def test_fits_vmem_gate():
     assert fits_vmem((1, 32, 32, 512), jnp.bfloat16)
     assert not fits_vmem((1, 128, 128, 256), jnp.float32)
+
+
+@pytest.mark.parametrize("n,heads,c", [(1024, 8, 128), (64, 4, 64), (16, 2, 128)])
+def test_packed_attention_matches_reference(n, heads, c):
+    from image_diffusion_tpu.ops.pallas.attention import (
+        _packed_forward,
+        reference_packed_attention,
+    )
+
+    key = jax.random.key(0)
+    B = 2
+    q = jax.random.normal(key, (B, n, c), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, n, c), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, n, c), jnp.float32)
+    scale = 1.0 / np.sqrt(c // heads)
+
+    ref = jax.jit(lambda q, k, v: reference_packed_attention(q, k, v, heads, scale))(q, k, v)
+    got = jax.jit(lambda q, k, v: _packed_forward(q, k, v, heads, scale, True))(q, k, v)
+    # kernel uses bf16 matmuls internally
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_packed_attention_gradients():
+    from image_diffusion_tpu.ops.pallas.attention import _packed_forward, reference_packed_attention
+
+    key = jax.random.key(1)
+    q = jax.random.normal(key, (1, 64, 64), jnp.float32)
+    scale = 1.0 / np.sqrt(16)
+    g_ref = jax.jit(jax.grad(lambda q: jnp.mean(reference_packed_attention(q, q, q, 4, scale) ** 2)))(q)
+    g_got = jax.jit(jax.grad(lambda q: jnp.mean(_packed_forward(q, q, q, 4, scale, True) ** 2)))(q)
+    # fwd runs bf16 matmuls, so the cotangent carries ~1e-2 relative noise;
+    # this pins the vjp wiring, not bitwise numerics
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=5e-2, rtol=5e-2)
+    # cosine similarity must be essentially 1
+    a, b = np.asarray(g_got).ravel(), np.asarray(g_ref).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999
