@@ -100,3 +100,19 @@ def test_preemption_guard_latches():
     assert not guard.triggered
     os.kill(os.getpid(), signal.SIGTERM)
     assert guard.triggered
+
+
+def test_ddim_eta1_consecutive_equals_ddpm_mean_when_unclipped():
+    """DDIM with eta=1 over consecutive steps reduces to the DDPM ancestral
+    posterior (same sigma; same mean whenever the x0 clip is inactive)."""
+    sched = S.make_schedule(1000)
+    # build xt from a known in-range x0 so predict_x0 recovers it UNCLIPPED
+    x0 = jnp.tanh(jax.random.normal(jax.random.key(0), (1, 4, 4, 1))) * 0.8
+    eps = jax.random.normal(jax.random.key(1), (1, 4, 4, 1))
+    z = jax.random.normal(jax.random.key(2), x0.shape)
+    for ti in [999, 500, 100]:
+        t = jnp.full((1,), ti)
+        xt = S.q_sample(sched, x0, eps, t)
+        ddpm, _ = S.ddpm_step(sched, xt, eps, t, z)
+        ddim, _ = S.ddim_step(sched, xt, eps, t, t - 1, z, eta=1.0)
+        np.testing.assert_allclose(np.asarray(ddim), np.asarray(ddpm), atol=5e-4)

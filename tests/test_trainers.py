@@ -146,3 +146,29 @@ def test_vae_dev_eval(tmp_path, image_data):
     if os.path.exists(csv):
         content = open(csv).read()
         assert "dev/recon_loss" in content
+
+
+def test_vae_train_step_sharded_matches_unsharded(tmp_path, image_data):
+    """Full VAE-GAN step (disc active, BN stats, VQ-free KL path) under an
+    8-way data mesh == single-device execution."""
+    import jax.numpy as jnp
+
+    from image_diffusion_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = tiny_vae_config(tmp_path, disc_start=0, batch_size=8)
+    logger = BasicLogger(str(tmp_path), "sv", no_mlflow=True, log_interval=1)
+    mesh = make_mesh(data=8, model=1)
+    tr_s = VAETrainer(cfg, image_data, None, logger, MetricHolder(1), mesh=mesh, run_name="sv")
+    tr_p = VAETrainer(cfg, image_data, None, logger, MetricHolder(1), run_name="sv")
+
+    x = jnp.asarray(image_data.arrays[0][:8])
+    (xs,) = shard_batch(mesh, (x,))
+    key = jax.random.key(3)
+    s1, m1 = tr_s.train_step(tr_s.state, xs, key, disc_active=True)
+    s2, m2 = tr_p.train_step(tr_p.state, x, key, disc_active=True)
+    for name in ["vae/recon_loss", "gan/d_loss", "gan/g_loss", "vae/vae_grad"]:
+        np.testing.assert_allclose(float(m1[name]), float(m2[name]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s1.vae_params)[0]),
+        np.asarray(jax.tree.leaves(s2.vae_params)[0]), atol=1e-5,
+    )

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Summarize a jax.profiler trace: device-op time by category.
+
+This is the tool that located the sampler's attention/pad/copy hotspots
+(the padded per-head layout costing ~35% of step time).  Usage:
+
+    IDTPU_PROFILE=/tmp/trace python ... (or jax.profiler.trace(dir))
+    python tools/analyze_trace.py /tmp/trace
+"""
+
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+
+
+def analyze(trace_dir: str, top: int = 20) -> None:
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise SystemExit(f"no trace files under {trace_dir}")
+    with gzip.open(files[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev = {p for p, n in pids.items() if "TPU" in n}
+    cats: collections.Counter = collections.Counter()
+    counts: collections.Counter = collections.Counter()
+    skip = {"while"}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev:
+            name = e.get("name", "?")
+            base = re.split(r"[.(]", name)[0]
+            if base in skip or base.startswith("jit_"):
+                continue
+            cats[base] += e.get("dur", 0)
+            counts[base] += 1
+    total = sum(cats.values())
+    print(f"device leaf-op time: {total / 1e6:.3f}s ({files[-1]})")
+    for name, d in cats.most_common(top):
+        print(f"{d / 1e6:9.4f}s {100 * d / max(total, 1):5.1f}%  n={counts[name]:6d}  {name}")
+
+
+if __name__ == "__main__":
+    analyze(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
