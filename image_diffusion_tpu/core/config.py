@@ -175,6 +175,9 @@ class DiffusionTrainConfig(TrainCommon):
 
     ae_type: str = "kl"
     cond_drop_prob: float = 0.15
+    # EMA of the denoiser weights for sampling (capability beyond the
+    # reference; None/0 disables — the reference semantics)
+    ema_decay: float | None = None
     train_set: str = "./data/diffusion/kl/train.npy"
     train_labels: str = "./data/diffusion/kl/train_labels.npy"
 

@@ -32,6 +32,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -157,13 +158,31 @@ class GroupNorm(nn.Module):
             if pk.groupnorm_enabled() and pk.fits_vmem(x.shape, x.dtype):
                 return pk.groupnorm_silu(x, scale, bias, self.num_groups).astype(self.dtype)
 
+        # Stats without reshaping the big activation (a (B, HW, G, Cg)
+        # reshape forces lane relayouts that profiled as ~copy traffic):
+        # reduce spatial dims to (B, C), fold channel sums into group sums
+        # on the small vector, broadcast back.  fp32 throughout.
         B = x.shape[0]
+        G = self.num_groups
+        cg = C // G
         x32 = x.astype(jnp.float32)
-        xg = x32.reshape(B, -1, self.num_groups, C // self.num_groups)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
-        norm = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-        out = norm.reshape(x.shape) * scale + bias
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n = cg * int(np.prod([x.shape[a] for a in spatial_axes]))
+
+        s1 = jnp.sum(x32, axis=spatial_axes)            # (B, C)
+        s2 = jnp.sum(x32 * x32, axis=spatial_axes)      # (B, C)
+        g1 = jnp.sum(s1.reshape(B, G, cg), axis=-1)     # (B, G)
+        g2 = jnp.sum(s2.reshape(B, G, cg), axis=-1)
+        mean_g = g1 / n
+        var_g = g2 / n - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + 1e-5)
+
+        bc = (B,) + (1,) * len(spatial_axes) + (C,)
+        mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(bc)
+        inv_c = jnp.repeat(inv_g, cg, axis=-1).reshape(bc)
+        a = inv_c * scale            # fused affine: out = x*a + b
+        b = bias - mean_c * a
+        out = x32 * a + b
         if self.act:
             out = jax.nn.silu(out)
         return out.astype(self.dtype)

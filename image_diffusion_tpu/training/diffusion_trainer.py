@@ -61,7 +61,14 @@ def make_optimizer(learning_rate: float, warmup_steps: int, clip_grad: float | N
     return tx
 
 
-def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float, reparametrize: bool):
+class EMATrainState(train_state.TrainState):
+    """TrainState + exponential moving average of the params."""
+
+    ema_params: Any = None
+
+
+def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
+                    reparametrize: bool, ema_decay: float | None = None):
     """Build the jitted train step (donates the state buffer)."""
 
     @partial(jax.jit, donate_argnums=0)
@@ -89,6 +96,14 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float, repara
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
+        if ema_decay:
+            state = state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    state.ema_params,
+                    state.params,
+                )
+            )
         return state, {"unet/loss": loss, "unet/grad": grad_norm}
 
     return train_step
@@ -138,8 +153,15 @@ class DiffusionTrainer:
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1,), jnp.int32),
         )
-        self.state = train_state.TrainState.create(
-            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        self.state = EMATrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            tx=self.tx,
+            ema_params=(
+                jax.tree.map(jnp.copy, variables["params"])
+                if config.train.ema_decay
+                else None
+            ),
         )
         self.state = self._shard_state(self.state)
 
@@ -152,6 +174,11 @@ class DiffusionTrainer:
             trees, meta = ckpt.load_checkpoint(checkpoint)
             self.state = self.state.replace(
                 params=ckpt.restore_into(self.state.params, trees["unet"]),
+                ema_params=(
+                    ckpt.restore_into(self.state.ema_params, trees["unet_ema"])
+                    if "unet_ema" in trees and self.state.ema_params is not None
+                    else self.state.ema_params
+                ),
                 opt_state=ckpt.restore_into(self.state.opt_state, trees["optim"]),
                 step=int(trees["step"]["step"]),
             )
@@ -166,6 +193,7 @@ class DiffusionTrainer:
             self.sched,
             config.train.cond_drop_prob,
             reparametrize=(config.train.ae_type == "kl"),
+            ema_decay=config.train.ema_decay,
         )
 
     def _shard_state(self, state):
@@ -189,6 +217,7 @@ class DiffusionTrainer:
             architecture=self.cfg.arch.to_dict(),
             epoch=epoch,
             unet=self.state.params,
+            unet_ema=self.state.ema_params,  # None -> omitted
             optim=self.state.opt_state,
             step={"step": int(self.state.step)},
         )

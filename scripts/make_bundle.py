@@ -26,6 +26,9 @@ def main():
     p.add_argument("--config", required=True, help="Diffusion YAML (for the noise schedule).")
     p.add_argument("--classes", default="a hot place,a cold place,a mild place")
     p.add_argument("--out", default="./checkpoints/bundle.ckpt")
+    p.add_argument("--ema", action="store_true",
+                   help="Bundle the EMA weights (requires a trainer checkpoint "
+                        "saved with ema_decay enabled).")
     args = p.parse_args()
 
     from image_diffusion_tpu.core.config import DiffusionConfig
@@ -35,7 +38,21 @@ def main():
     cfg = DiffusionConfig.from_yaml(args.config)
 
     _, vae_vars, vae_arch = load_vae(args.vae)
-    _, unet_vars, unet_arch = load_unet(args.unet)
+    if args.ema:
+        import jax
+        import jax.numpy as jnp
+
+        from image_diffusion_tpu.core import checkpoint as ckpt
+        from image_diffusion_tpu.core.config import UNetArch, _build
+
+        trees, meta = ckpt.load_checkpoint(args.unet)
+        if "unet_ema" not in trees:
+            raise SystemExit("--ema: checkpoint has no unet_ema tree "
+                             "(train with ema_decay set)")
+        unet_arch = _build(UNetArch, meta["architecture"])
+        unet_vars = {"params": jax.tree.map(jnp.asarray, trees["unet_ema"])}
+    else:
+        _, unet_vars, unet_arch = load_unet(args.unet)
 
     pipeline = DiffusionPipeline(
         vae_arch, vae_vars, unet_arch, unet_vars, cfg.schedule, args.classes

@@ -172,3 +172,26 @@ def test_vae_train_step_sharded_matches_unsharded(tmp_path, image_data):
         np.asarray(jax.tree.leaves(s1.vae_params)[0]),
         np.asarray(jax.tree.leaves(s2.vae_params)[0]), atol=1e-5,
     )
+
+
+def test_diffusion_trainer_ema(tmp_path, diffusion_data):
+    """ema_decay tracks a lagged copy of the params and persists in ckpts."""
+    cfg = tiny_diffusion_config(tmp_path, epochs=1, ema_decay=0.5)
+    logger = BasicLogger(str(tmp_path), "e", no_mlflow=True, log_interval=1)
+    trainer = DiffusionTrainer(cfg, diffusion_data, logger, MetricHolder(1), run_name="e")
+    assert trainer.state.ema_params is not None
+    p0 = np.asarray(jax.tree.leaves(trainer.state.params)[0])
+    trainer.train()
+    p = np.asarray(jax.tree.leaves(trainer.state.params)[0])
+    e = np.asarray(jax.tree.leaves(trainer.state.ema_params)[0])
+    # EMA lags the raw params but has moved from init
+    assert not np.allclose(e, p)
+    assert not np.allclose(e, p0)
+
+    ckpt_path = os.path.join(str(tmp_path), "e", "unet-epoch-00.ckpt")
+    trainer2 = DiffusionTrainer(
+        cfg, diffusion_data, logger, MetricHolder(1), checkpoint=ckpt_path, run_name="e"
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(trainer2.state.ema_params)[0]), e, atol=0
+    )
