@@ -73,7 +73,7 @@ def _sample_loop(
             return x_prev, None
 
         ts = jnp.arange(sched.num_steps - 1, -1, -1)
-        x0, _ = jax.lax.scan(step, x_init, ts)
+        x0, _ = jax.lax.scan(step, x_init, ts, unroll=2)
     elif sampler == "ddim":
         ts = timesteps
         ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])

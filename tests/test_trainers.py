@@ -195,3 +195,17 @@ def test_diffusion_trainer_ema(tmp_path, diffusion_data):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(trainer2.state.ema_params)[0]), e, atol=0
     )
+
+
+def test_vae_reconstruction_figure_logging(tmp_path, image_data):
+    """log_imgs_freq reconstruction figures (reference vae_trainer.py:214-225)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    plot_path = str(tmp_path / "plot.npy")
+    np.save(plot_path, image_data.arrays[0][:2])
+    cfg = tiny_vae_config(tmp_path, log_imgs_freq=1, plot_set=plot_path, disc_start=100)
+    logger = BasicLogger(str(tmp_path), "fig", no_mlflow=True, log_interval=1)
+    trainer = VAETrainer(cfg, image_data, None, logger, MetricHolder(1), run_name="fig")
+    assert trainer.plot_images is not None
+    trainer.train()  # freq=1 -> figure every step; must not raise
