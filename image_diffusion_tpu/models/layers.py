@@ -182,7 +182,14 @@ class GroupNorm(nn.Module):
         inv_c = jnp.repeat(inv_g, cg, axis=-1).reshape(bc)
         a = inv_c * scale            # fused affine: out = x*a + b
         b = bias - mean_c * a
-        out = x32 * a + b
+        if self.dtype == jnp.bfloat16:
+            # stats are fp32; the per-element affine runs in bf16 — its
+            # rounding (~2^-8 relative) is the same magnitude as the bf16
+            # activations themselves, and it halves the elementwise traffic.
+            # fp32 (verification) mode keeps the exact fp32 path below.
+            out = x.astype(jnp.bfloat16) * a.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+        else:
+            out = x32 * a + b
         if self.act:
             out = jax.nn.silu(out)
         return out.astype(self.dtype)
