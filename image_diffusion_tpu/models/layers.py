@@ -28,7 +28,7 @@ Behavioral parity notes (each cites the reference):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -364,9 +364,3 @@ class DiffusionBlock(nn.Module):
             x = SpatialSelfAttention(self.num_heads, self.num_groups, self.dtype, name=f"attn_{i}")(h)
         return x
 
-
-def sequential_apply(layers: Sequence, x):
-    """Apply a heterogeneous layer list in order (VAE encoder/decoder trunk)."""
-    for layer in layers:
-        x = layer(x)
-    return x

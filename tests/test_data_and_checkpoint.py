@@ -64,3 +64,25 @@ def test_restore_into_checks_shapes():
     assert good["w"].dtype == jnp.bfloat16
     with pytest.raises(ValueError):
         restore_into(template, {"w": np.ones((3, 2), np.float32)})
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from image_diffusion_tpu.core.checkpoint import (
+        load_checkpoint,
+        save_checkpoint_async,
+        wait_for_async_saves,
+    )
+
+    # rapid successive async saves: at most one in flight, all land intact
+    for i in range(3):
+        save_checkpoint_async(
+            str(tmp_path / f"c{i}.ckpt"), architecture={"i": i}, epoch=i,
+            model={"w": np.full((4,), float(i), np.float32)},
+        )
+    wait_for_async_saves()
+    for i in range(3):
+        trees, meta = load_checkpoint(str(tmp_path / f"c{i}.ckpt"))
+        assert meta["epoch"] == i
+        np.testing.assert_array_equal(trees["model"]["w"], np.full((4,), float(i)))
