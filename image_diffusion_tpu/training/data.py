@@ -55,6 +55,13 @@ def epoch_batches(
 ) -> Iterator[tuple]:
     """Yield device-resident batches for one epoch, prefetched and sharded."""
     n = len(dataset)
+    if mesh is not None:
+        d = mesh.shape.get("data", 1)
+        if batch_size % d:
+            raise ValueError(
+                f"batch_size {batch_size} is not divisible by the mesh 'data' "
+                f"axis ({d}); pick a batch size that shards evenly"
+            )
     if shuffle_seed is not None:
         order = np.random.default_rng(shuffle_seed).permutation(n)
     else:

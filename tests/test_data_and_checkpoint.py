@@ -86,3 +86,12 @@ def test_async_checkpoint_roundtrip(tmp_path):
         trees, meta = load_checkpoint(str(tmp_path / f"c{i}.ckpt"))
         assert meta["epoch"] == i
         np.testing.assert_array_equal(trees["model"]["w"], np.full((4,), float(i)))
+
+
+def test_epoch_batches_rejects_indivisible_mesh_batch():
+    from image_diffusion_tpu.parallel.mesh import make_mesh
+
+    ds = ArrayDataset(np.zeros((16, 2)))
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="divisible"):
+        next(iter(epoch_batches(ds, 6, mesh=mesh)))
