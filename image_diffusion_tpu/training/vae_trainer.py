@@ -405,9 +405,11 @@ class VAETrainer:
         recon_dev, percept_dev, perp_dev, batches = 0.0, 0.0, 0.0, 0
         if self.fid_fn is not None:
             self.fid_fn.reset_fake()
-        for (x,) in epoch_batches(self.dev_set, cfg.batch_size, self.mesh, None):
+        for i, (x,) in enumerate(epoch_batches(self.dev_set, cfg.batch_size, self.mesh, None)):
+            # fresh reparam noise per dev batch (reference draws new
+            # torch randomness each forward, vae_trainer.py:347)
             x_hat, rl, pl, perp = self.eval_step(
-                self.state.vae_params, self.state.codebook, x, key
+                self.state.vae_params, self.state.codebook, x, jax.random.fold_in(key, i)
             )
             recon_dev += float(rl)
             percept_dev += float(pl)
