@@ -127,3 +127,37 @@ def test_sample_sharded_over_mesh_matches_single(pipeline):
     sharded = pipeline.sample([1.0, 3.0], seed=5, mesh=mesh)  # padded to 8
     assert sharded.shape == single.shape
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_vq_pipeline_sampling_quantized_decode():
+    """Sampler with a VQ autoencoder: the final decode re-quantizes
+    (reference modules/diffusion.py:58-59)."""
+    from image_diffusion_tpu.core.config import ScheduleConfig, UNetArch, VAEArch
+    from image_diffusion_tpu.models import build_unet, build_vae
+
+    vq_arch = VAEArch(
+        in_channels=3, channels=(16, 32), z_dim=3, bottleneck="vq",
+        codebook_size=32, codebook_beta=0.25, codebook_gamma=0.99,
+        enc_num_res_blocks=1, dec_num_res_blocks=1, attn_resolutions=(),
+        num_heads=2, init_resolution=32, num_groups=8,
+    )
+    vae = build_vae(vq_arch, dtype=jnp.float32)
+    unet = build_unet(UNET_TINY, dtype=jnp.float32)
+    vv = jax.jit(lambda: vae.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3))))()
+    uv = jax.jit(lambda: unet.init(
+        jax.random.key(2), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32)))()
+    pipe = DiffusionPipeline(vq_arch, vv, UNET_TINY, uv, ScheduleConfig(num_steps=10),
+                             ["a", "b", "c"], dtype=jnp.float32)
+    imgs = pipe.sample([2.0], seed=1)
+    assert imgs.shape == (3, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+    # decoded latents went through the codebook: decoding the quantized
+    # latents directly must equal decoding with quantize=True
+    z = jax.random.normal(jax.random.key(9), (2, 16, 16, 3))
+    dq = jax.jit(lambda v, z: vae.apply(v, z, True, method="decode"))(vv, z)
+    zq, _, _ = jax.jit(lambda v, z: vae.apply(v, z, train=False,
+                                              method=lambda m, z, train: m.codebook(z, train)))(vv, z)
+    d = jax.jit(lambda v, z: vae.apply(v, z, method="decode"))(vv, zq)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(d), atol=1e-6)
