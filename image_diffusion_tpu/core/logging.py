@@ -33,8 +33,8 @@ class BasicLogger:
         self._mlflow = None
         self._csv_path = None
 
+        os.makedirs(logs_dir, exist_ok=True)
         if not no_mlflow:
-            os.makedirs(logs_dir, exist_ok=True)
             try:
                 import mlflow  # optional dependency
 
@@ -42,8 +42,12 @@ class BasicLogger:
                 mlflow.set_experiment(run_name)
                 self._mlflow = mlflow
             except Exception:  # pragma: no cover - mlflow missing or broken
-                self._csv_path = os.path.join(logs_dir, f"{run_name}_metrics.csv")
                 self.log_console("MLflow unavailable; logging metrics to CSV instead.")
+        if self._mlflow is None:
+            # --no-mlflow (or a broken mlflow) still leaves an auditable
+            # metric trail; the reference's --no-mlflow drops metrics
+            # entirely (modules/util.py:27-33)
+            self._csv_path = os.path.join(logs_dir, f"{run_name}_metrics.csv")
 
     def log_metric(self, name: str, val: float, step: int) -> None:
         if self._mlflow is not None:

@@ -83,14 +83,16 @@ class FID:
         self.fake = RunningStats(dim)
         self._real_done = False
 
-    def update_fake(self, images01) -> None:
-        self.fake.update(np.asarray(self.feature_fn(images01)))
+    def update_fake(self, images01, n_valid: int | None = None) -> None:
+        """`n_valid` drops trailing pad rows (full-coverage eval batches keep
+        one compiled feature_fn shape by padding the tail batch)."""
+        self.fake.update(np.asarray(self.feature_fn(images01))[:n_valid])
 
-    def update_real_once(self, images01) -> None:
+    def update_real_once(self, images01, n_valid: int | None = None) -> None:
         """Ingest real features only until the first compute() latches them
         (reference reset_real_features=False semantics)."""
         if not self._real_done:
-            self.real.update(np.asarray(self.feature_fn(images01)))
+            self.real.update(np.asarray(self.feature_fn(images01))[:n_valid])
 
     def reset_fake(self) -> None:
         self.fake.reset()

@@ -1,12 +1,17 @@
 """InceptionV3 (pool3, 2048-d) feature extractor for FID, in flax.
 
 Replaces the torchmetrics FID backbone (reference
-trainers/vae_trainer.py:119).  The topology matches torchvision's
-`inception_v3` feature path (the one pytorch-fid / torchmetrics use), so a
-torch-format weight file imports key-for-key via `import_inception`; in a
-zero-egress environment the caller passes a local weights file
-(`--fid-weights`), and without one FID is skipped (random-weight FID is not
-meaningful).
+trainers/vae_trainer.py:119).  The topology follows pytorch-fid /
+torchmetrics' FID-patched inception_v3 — torchvision layer layout and key
+names, but with the FID pooling semantics (branch_pool avg pools use
+count_include_pad=False in the A/C/E blocks and Mixed_7c's branch_pool is a
+MAX pool), so the standard `pt_inception-2015-12-05` weight file imports
+key-for-key via `import_inception` and produces torchmetrics-faithful
+features.  In a zero-egress environment the caller passes a local weights
+file (`--fid-weights`); without one FID is skipped (random-weight FID is
+not meaningful).  Numerical parity of this port + importer is pinned by a
+random-init plain-torch oracle golden (tools/make_goldens.py,
+tests/test_pretrained_parity.py).
 
 Input convention follows torchmetrics normalize=True: images in [0, 1],
 NHWC; internally resized to 299x299 bilinear (align_corners=False,
@@ -46,17 +51,22 @@ class BasicConv2d(nn.Module):
         return jax.nn.relu(x)
 
 
-def _pad1(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-
 def _maxpool3x3s2(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2))
 
 
 def _avgpool3x3s1p1(x):
-    # count_include_pad=True average pool (torch default inside Inception)
-    return nn.avg_pool(_pad1(x), (3, 3), strides=(1, 1), count_include_pad=True)
+    # pytorch-fid patches the branch_pool avg pools to count_include_pad=False
+    # (pytorch_fid/inception.py FIDInceptionA/C/E_1)
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
+    )
+
+
+def _maxpool3x3s1p1(x):
+    # Mixed_7c's branch_pool is a MAX pool in the FID inception
+    # (pytorch_fid/inception.py FIDInceptionE_2)
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
 class InceptionA(nn.Module):
@@ -120,6 +130,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    pool: str = "avg"  # Mixed_7b: FID avg; Mixed_7c: FID max
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -135,7 +147,8 @@ class InceptionE(nn.Module):
         bdb = BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
 
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avgpool3x3s1p1(x))
+        pool = _avgpool3x3s1p1 if self.pool == "avg" else _maxpool3x3s1p1
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(pool(x))
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -165,8 +178,8 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(160, name="Mixed_6d")(x)
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool="avg", name="Mixed_7b")(x)
+        x = InceptionE(pool="max", name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (N, 2048)
 
 

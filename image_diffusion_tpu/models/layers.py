@@ -155,7 +155,13 @@ class GroupNorm(nn.Module):
         if self.act and x.ndim == 4:
             from ..ops import pallas as pk
 
-            if pk.groupnorm_enabled() and pk.fits_vmem(x.shape, x.dtype):
+            # same dtype gate as attention: fp32 verification mode must not
+            # run the bf16-affine fused kernel
+            if (
+                pk.groupnorm_enabled()
+                and self.dtype == jnp.bfloat16
+                and pk.fits_vmem(x.shape, x.dtype)
+            ):
                 return pk.groupnorm_silu(x, scale, bias, self.num_groups).astype(self.dtype)
 
         # Stats without reshaping the big activation (a (B, HW, G, Cg)
@@ -242,7 +248,12 @@ class SpatialSelfAttention(nn.Module):
 
         from ..ops import pallas as pk
 
-        use_pallas = pk.attention_enabled() and kv is None
+        # Pallas kernels compute in bf16 (the packed kernel hard-casts k/v);
+        # the documented fp32 verification mode (<=1e-4 parity) must stay on
+        # the XLA einsum path, so gate on the compute dtype too.
+        use_pallas = (
+            pk.attention_enabled() and kv is None and self.dtype == jnp.bfloat16
+        )
         if use_pallas and C <= 128:
             # lane-packed kernel: no head-dim padding, no head transposes —
             # this is the dominant 32x32-grid attention (C=128, d=16), which

@@ -74,8 +74,9 @@ class LPIPS:
                 x = _maxpool(x)
         return feats
 
-    def __call__(self, real: jax.Array, fake: jax.Array) -> jax.Array:
-        """Mean LPIPS distance over the batch (scalar)."""
+    def __call__(self, real: jax.Array, fake: jax.Array, reduce: bool = True) -> jax.Array:
+        """LPIPS distance: batch mean (scalar) or per-sample (N,) with
+        reduce=False (used by the full-coverage dev eval)."""
         fr = self._features(real)
         ff = self._features(fake)
         total = jnp.float32(0.0)
@@ -86,7 +87,7 @@ class LPIPS:
             # learned 1x1 conv == channel-weighted sum
             dist = jnp.sum(diff2 * lin[None, None, None, :], axis=-1)
             total = total + jnp.mean(dist, axis=(1, 2))
-        return jnp.mean(total)
+        return jnp.mean(total) if reduce else total
 
     # ------------------------------------------------------------------ io
 

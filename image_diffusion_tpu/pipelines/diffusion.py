@@ -35,7 +35,22 @@ from ..models import build_unet, build_vae
 from ..ops import schedule as S
 
 
-@partial(jax.jit, static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta"))
+# host-side tqdm updated from inside the scan via jax.debug.callback when
+# `progress=True` (reference shows tqdm over the 1000 steps,
+# modules/diffusion.py:51); module global so the jit cache isn't keyed on a
+# fresh bar object per call.
+_PROGRESS_BAR = None
+
+
+def _tick_progress():
+    if _PROGRESS_BAR is not None:
+        _PROGRESS_BAR.update(1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta", "progress"),
+)
 def _sample_loop(
     unet_model,
     unet_variables,
@@ -50,6 +65,7 @@ def _sample_loop(
     sampler: str = "ddpm",
     timesteps: jax.Array | None = None,  # descending subsequence for ddim
     eta: float = 0.0,
+    progress: bool = False,
 ) -> jax.Array:
     B = x_init.shape[0]
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
@@ -63,6 +79,8 @@ def _sample_loop(
         t2 = jnp.full((2 * B,), t, jnp.int32)
         eps2 = unet_model.apply(unet_variables, x2, t2, ctx, mask)
         eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2)
+        if progress:
+            jax.debug.callback(_tick_progress, ordered=False)
         return eps_u + scales * (eps_c - eps_u)
 
     if sampler == "ddpm":
@@ -139,6 +157,7 @@ class DiffusionPipeline:
         num_inference_steps: int | None = None,
         eta: float = 0.0,
         mesh=None,
+        progress: bool = False,
     ) -> jax.Array:
         """Sample a classes x scales grid -> (B, H, W, 3) images in [-1, 1].
 
@@ -195,21 +214,35 @@ class DiffusionPipeline:
             unet_vars = replicate(mesh, unet_vars)
             vae_vars = replicate(mesh, vae_vars)
 
-        imgs = _sample_loop(
-            self.unet,
-            unet_vars,
-            self.vae,
-            vae_vars,
-            self.sched,
-            x_init,
-            labels,
-            scales,
-            jax.random.fold_in(key, 1),
-            self.vae_arch.bottleneck == "vq",
-            sampler,
-            timesteps,
-            eta,
-        )
+        global _PROGRESS_BAR
+        if progress:
+            from tqdm import tqdm
+
+            n_steps = self.sched.num_steps if sampler == "ddpm" else len(timesteps)
+            _PROGRESS_BAR = tqdm(total=n_steps, desc="sampling", dynamic_ncols=True)
+        try:
+            imgs = _sample_loop(
+                self.unet,
+                unet_vars,
+                self.vae,
+                vae_vars,
+                self.sched,
+                x_init,
+                labels,
+                scales,
+                jax.random.fold_in(key, 1),
+                self.vae_arch.bottleneck == "vq",
+                sampler,
+                timesteps,
+                eta,
+                progress,
+            )
+            if progress:
+                imgs.block_until_ready()
+        finally:
+            if _PROGRESS_BAR is not None:
+                _PROGRESS_BAR.close()
+                _PROGRESS_BAR = None
         return imgs[:B] if n_pad else imgs
 
     # ------------------------------------------------------------------ io

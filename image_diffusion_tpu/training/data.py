@@ -87,3 +87,31 @@ def epoch_batches(
 
 def steps_per_epoch(dataset: ArrayDataset, batch_size: int) -> int:
     return len(dataset) // batch_size
+
+
+def eval_batches(
+    dataset: ArrayDataset,
+    batch_size: int,
+    mesh: Mesh | None = None,
+) -> Iterator[tuple[int, tuple]]:
+    """Full-coverage batches for evaluation: yields (n_valid, batch_tuple).
+
+    The trailing partial batch is PADDED (wrapping around to the start) up
+    to `batch_size` so every batch has the compiled static shape; callers
+    weight metrics by `n_valid` and ignore the pad rows.  Unlike
+    `epoch_batches` this covers the whole dataset (the reference's dev loop
+    iterates the full dev loader, trainers/vae_trainer.py:342-361).
+    """
+    n = len(dataset)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        n_valid = len(idx)
+        if n_valid < batch_size:
+            idx = np.concatenate([idx, np.arange(batch_size - n_valid) % n])
+        host = tuple(np.ascontiguousarray(a[idx]) for a in dataset.arrays)
+        if sharding is not None:
+            yield n_valid, tuple(jax.device_put(h, sharding) for h in host)
+        else:
+            yield n_valid, tuple(jax.device_put(h) for h in host)

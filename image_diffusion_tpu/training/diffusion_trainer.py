@@ -34,6 +34,7 @@ from ..core.config import DiffusionConfig
 from ..core.logging import BasicLogger
 from ..core.metrics import MetricHolder
 from ..core.preemption import PreemptionGuard
+from ..core.progress import progress
 from ..core.rng import epoch_key, numpy_seed, root_key
 from ..models import build_unet
 from ..models.vae import VAE
@@ -242,27 +243,36 @@ class DiffusionTrainer:
 
         for epoch in range(self.curr_epoch, cfg.epochs):
             ekey = epoch_key(key, epoch)
-            epoch_loss = 0.0
+            # epoch_loss averages EVERY step's loss, including the tail steps
+            # between the last flush and the epoch end (reference averages
+            # all steps, trainers/diffusion_trainer.py:206-209)
+            epoch_loss_sum, loss_steps, steps_in_buffer = 0.0, 0, 0
             t_last = time.time()
             for step, (x, c) in enumerate(
-                epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey))
+                progress(
+                    epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey)),
+                    total=spe, desc=f"epoch {epoch}",
+                )
             ):
                 adjusted_step = epoch * spe + step
                 self.state, metrics = self.train_step(self.state, x, c, ekey)
 
                 self.holder.store_dict(metrics)
                 self.holder.store_variable("unet/lr", float(self.lr_fn(adjusted_step)))
+                steps_in_buffer += 1
 
                 if (adjusted_step + 1) % cfg.log_interval == 0:
                     # block on the last step's loss so throughput is honest
                     flushed = self.holder.flush()
                     now = time.time()
                     flushed["unet/samples_per_sec"] = (
-                        cfg.log_interval * cfg.batch_size / (now - t_last)
+                        steps_in_buffer * cfg.batch_size / (now - t_last)
                     )
                     t_last = now
                     self.logger.log_metrics(flushed, step=adjusted_step)
-                    epoch_loss += flushed.get("unet/loss", 0.0) * cfg.log_interval / spe
+                    epoch_loss_sum += flushed.get("unet/loss", 0.0) * steps_in_buffer
+                    loss_steps += steps_in_buffer
+                    steps_in_buffer = 0
 
                 if guard.triggered:
                     path = self.save(max(epoch - 1, 0))
@@ -271,6 +281,11 @@ class DiffusionTrainer:
                     )
                     return
 
+            if steps_in_buffer:
+                tail = self.holder.flush()
+                epoch_loss_sum += tail.get("unet/loss", 0.0) * steps_in_buffer
+                loss_steps += steps_in_buffer
+            epoch_loss = epoch_loss_sum / max(loss_steps, 1)
             self.logger.log_metric("unet/epoch_loss", epoch_loss, step=epoch)
             path = self.save(epoch, asynchronous=True)
             self.logger.log_console(f"Saving checkpoint {path} (async)")

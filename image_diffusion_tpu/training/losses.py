@@ -22,6 +22,15 @@ def recon_loss(real: jax.Array, fake: jax.Array) -> jax.Array:
     return jnp.mean((fake - real) ** 2) + jnp.mean(jnp.abs(fake - real))
 
 
+def recon_loss_per_sample(real: jax.Array, fake: jax.Array) -> jax.Array:
+    """Per-sample (N,) MSE + L1; its mean equals `recon_loss` for equal-size
+    samples.  Used by dev eval so a padded tail batch can be weighted by the
+    number of valid samples (full-dev-set coverage, unlike a dropped batch)."""
+    real, fake = _f32(real), _f32(fake)
+    axes = tuple(range(1, real.ndim))
+    return jnp.mean((fake - real) ** 2, axis=axes) + jnp.mean(jnp.abs(fake - real), axis=axes)
+
+
 # --- hinge ---
 def hinge_d_loss(fake: jax.Array, real: jax.Array) -> jax.Array:
     loss_fake = jnp.mean(jax.nn.relu(1.0 + _f32(fake)))

@@ -54,12 +54,13 @@ from ..core.config import VAEConfig
 from ..core.logging import BasicLogger
 from ..core.metrics import MetricHolder
 from ..core.preemption import PreemptionGuard
+from ..core.progress import progress
 from ..core.rng import epoch_key, numpy_seed, root_key
 from ..models import Discriminator, build_vae
 from ..parallel.mesh import replicate
-from .data import ArrayDataset, epoch_batches, steps_per_epoch
+from .data import ArrayDataset, epoch_batches, eval_batches, steps_per_epoch
 from .diffusion_trainer import make_optimizer, warmup_schedule
-from .losses import D_LOSSES, G_LOSSES, recon_loss
+from .losses import D_LOSSES, G_LOSSES, recon_loss, recon_loss_per_sample
 
 
 class VAETrainState(struct.PyTreeNode):
@@ -204,8 +205,10 @@ def make_vae_train_step(
 
 
 def make_eval_step(vae_model, disc_model, cfg: VAEConfig, percept_fn):
-    """Dev-set forward: recon/percept losses + clamped reconstructions
-    (reference trainers/vae_trainer.py:342-361)."""
+    """Dev-set forward: PER-SAMPLE recon/percept losses + clamped
+    reconstructions (reference trainers/vae_trainer.py:342-361).  Per-sample
+    values let the host weight a padded tail batch by its valid count, so
+    the dev metrics cover the FULL dev set."""
     is_vq = cfg.arch.bottleneck == "vq"
 
     @jax.jit
@@ -220,8 +223,12 @@ def make_eval_step(vae_model, disc_model, cfg: VAEConfig, percept_fn):
                 variables, x, sample=True, rngs={"sample": rng}
             )
         x_hat = jnp.clip(x_hat.astype(jnp.float32), -1.0, 1.0)
-        rl = recon_loss(x, x_hat)
-        pl = percept_fn(x, x_hat) if percept_fn is not None else jnp.float32(0.0)
+        rl = recon_loss_per_sample(x, x_hat)
+        pl = (
+            percept_fn(x, x_hat, reduce=False)
+            if percept_fn is not None
+            else jnp.zeros((x.shape[0],), jnp.float32)
+        )
         return x_hat, rl, pl, perp
 
     return eval_step
@@ -355,7 +362,10 @@ class VAETrainer:
             ekey = epoch_key(key, epoch)
             t_last = time.time()
             for step, (x,) in enumerate(
-                epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey))
+                progress(
+                    epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey)),
+                    total=spe, desc=f"epoch {epoch}",
+                )
             ):
                 adjusted_step = epoch * spe + step
                 disc_active = adjusted_step >= cfg.disc_start
@@ -404,29 +414,36 @@ class VAETrainer:
         self.logger.log_figure(f"plots/{step}_recon.png", fig)
 
     def _evaluate(self, epoch: int, key) -> None:
+        """Full-dev-set evaluation: every sample counts exactly once (the
+        tail batch is padded for shape stability and weighted by its valid
+        count; reference iterates the whole dev loader,
+        trainers/vae_trainer.py:342-361)."""
         cfg = self.cfg.train
-        recon_dev, percept_dev, perp_dev, batches = 0.0, 0.0, 0.0, 0
+        recon_dev, percept_dev, perp_dev, n_seen, batches = 0.0, 0.0, 0.0, 0, 0
         if self.fid_fn is not None:
             self.fid_fn.reset_fake()
-        for i, (x,) in enumerate(epoch_batches(self.dev_set, cfg.batch_size, self.mesh, None)):
+        for i, (n_valid, (x,)) in enumerate(
+            eval_batches(self.dev_set, cfg.batch_size, self.mesh)
+        ):
             # fresh reparam noise per dev batch (reference draws new
             # torch randomness each forward, vae_trainer.py:347)
             x_hat, rl, pl, perp = self.eval_step(
                 self.state.vae_params, self.state.codebook, x, jax.random.fold_in(key, i)
             )
-            recon_dev += float(rl)
-            percept_dev += float(pl)
-            perp_dev += float(perp)
+            recon_dev += float(jnp.sum(rl[:n_valid]))
+            percept_dev += float(jnp.sum(pl[:n_valid]))
+            perp_dev += float(perp) * n_valid
             if self.fid_fn is not None:
-                self.fid_fn.update_fake((x_hat + 1.0) / 2.0)
+                self.fid_fn.update_fake((x_hat + 1.0) / 2.0, n_valid)
                 self.fid_fn.update_real_once(
-                    (normalize_batch(x, None) + 1.0) / 2.0
+                    (normalize_batch(x, None) + 1.0) / 2.0, n_valid
                 )
+            n_seen += n_valid
             batches += 1
-        if batches:
-            self.logger.log_metric("dev/recon_loss", recon_dev / batches, step=epoch)
-            self.logger.log_metric("dev/percept_loss", percept_dev / batches, step=epoch)
+        if n_seen:
+            self.logger.log_metric("dev/recon_loss", recon_dev / n_seen, step=epoch)
+            self.logger.log_metric("dev/percept_loss", percept_dev / n_seen, step=epoch)
             if self.cfg.arch.bottleneck == "vq":
-                self.logger.log_metric("dev/perplexity", perp_dev / batches, step=epoch)
+                self.logger.log_metric("dev/perplexity", perp_dev / n_seen, step=epoch)
         if self.fid_fn is not None:
             self.logger.log_metric("dev/FID", self.fid_fn.compute(), step=epoch)

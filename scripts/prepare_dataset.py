@@ -151,6 +151,12 @@ def main():
     args = parse_args()
     if args.use_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # under the axon image a sitecustomize force-registers the TPU
+        # platform at interpreter start, so the env var alone does not
+        # stick; the explicit config update does.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.type == "vae":
         vae_dataset(args)
     else:

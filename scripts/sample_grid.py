@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=None,
                    help="Shard the grid over N chips (default: all available).")
     p.add_argument("--use-cpu", action="store_true")
+    p.add_argument("--progress", action="store_true",
+                   help="Per-step tqdm bar (host callback each denoise step; "
+                        "adds a little dispatch overhead).")
     return p.parse_args()
 
 
@@ -42,6 +45,12 @@ def main():
     args = parse_args()
     if args.use_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # under the axon image a sitecustomize force-registers the TPU
+        # platform at interpreter start, so the env var alone does not
+        # stick; the explicit config update does.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import numpy as np
@@ -66,6 +75,7 @@ def main():
         pipeline.sample(
             cfg_scales, seed=args.seed, sampler=args.sampler,
             num_inference_steps=args.steps, eta=args.eta, mesh=mesh,
+            progress=args.progress,
         )
     )
     dt = time.time() - t0

@@ -30,6 +30,12 @@ def main():
     args = parse_args()
     if args.use_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # under the axon image a sitecustomize force-registers the TPU
+        # platform at interpreter start, so the env var alone does not
+        # stick; the explicit config update does.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         os.environ["JAX_DEBUG_NANS"] = "True"
 
@@ -49,6 +55,9 @@ def main():
     mesh = make_mesh(data=args.data_parallel)
     logger = BasicLogger(cfg.train.logs_dir, run_name, args.no_mlflow, cfg.train.log_interval)
     holder = MetricHolder(cfg.train.log_interval)
+    if args.comment:
+        # threaded into the run metadata like the reference (train_diffusion.py:31)
+        logger.log_params(comment=args.comment)
 
     latents = np.load(cfg.train.train_set)
     if latents.ndim == 4 and latents.shape[1] < latents.shape[2]:

@@ -1,0 +1,212 @@
+"""Subprocess smoke tests for every CLI entry point.
+
+The five scripts/*.py are the user surface (reference scripts/*.py); a
+regression in argparse wiring, config plumbing, or imports would otherwise
+ship silently since library tests never execute them.  This runs the whole
+two-stage pipeline end-to-end on CPU with tiny shapes:
+
+  prepare(vae) -> train_vae (with real --lpips-weights/--fid-weights files
+  built from the random torch oracles) -> prepare(diffusion, random labels)
+  -> train_diffusion -> make_bundle -> sample_grid (ddim) -> eval_fid
+
+Subprocess env: PALLAS_AXON_POOL_IPS is stripped so the axon sitecustomize
+does not dial the TPU from every process, and the 8-virtual-device XLA flag
+is removed so mesh size is 1 (batch sizes here don't divide 8).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def run_cli(args, timeout=600):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU dial from subprocesses
+    env.pop("XLA_FLAGS", None)             # single CPU device
+    env["JAX_PLATFORMS"] = "cpu"
+    env["IDTPU_NO_TQDM"] = "1"
+    proc = subprocess.run(
+        [sys.executable] + args,
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"{' '.join(args)} failed (rc={proc.returncode})\n"
+        f"--- stdout ---\n{proc.stdout[-4000:]}\n--- stderr ---\n{proc.stderr[-4000:]}"
+    )
+    return proc
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    # a folder of tiny images for prepare_dataset vae mode
+    from PIL import Image
+
+    imgdir = d / "images"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgdir / f"img{i}.png")
+
+    # torch-format metric weight files from the random oracles
+    torch = pytest.importorskip("torch")
+    from torch_oracles import random_inception, random_lpips_state
+
+    lpips_path = d / "lpips.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in random_lpips_state(0).items()},
+               str(lpips_path))
+    fid_path = d / "inception.pth"
+    torch.save(random_inception(0).state_dict(), str(fid_path))
+    return d
+
+
+def _write_yaml(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_cli_pipeline_end_to_end(workdir):
+    d = str(workdir)
+
+    # ---- 1. prepare vae dataset ----
+    run_cli([f"{SCRIPTS}/prepare_dataset.py", "vae", "--vae-images", f"{d}/images",
+             "--image-size", "16", "--out", d, "--use-cpu"])
+    blob = os.path.join(d, "vae_dataset.npy")
+    assert np.load(blob).shape == (6, 16, 16, 3)
+
+    # ---- 2. train stage 1 (with LPIPS + FID wired) ----
+    vae_yaml = os.path.join(d, "vae.yaml")
+    _write_yaml(vae_yaml, f"""
+in_channels: 3
+channels: [8, 16]
+z_dim: 3
+bottleneck: kl
+codebook_size: null
+codebook_beta: null
+codebook_gamma: null
+enc_num_res_blocks: 1
+dec_num_res_blocks: 1
+attn_resolutions: []
+num_heads: 1
+init_resolution: 16
+num_groups: 4
+disc_channels: [8]
+recon_weight: 1.0
+percept_weight: 1.0
+prior_weight: 5e-6
+disc_weight: 0.1
+disc_start: 1
+gan_loss: "bce"
+learning_rate: 1e-4
+warmup_steps: 0
+batch_size: 2
+epochs: 1
+clip_grad: 1.0
+precision: fp32
+compile: true
+train_set: {blob}
+dev_set: {blob}
+plot_set: {blob}
+checkpoints_dir: {d}/ckpts
+logs_dir: {d}/logs
+seed: 7
+log_imgs_freq: 500
+log_interval: 2
+""")
+    run_cli([f"{SCRIPTS}/train_vae.py", "--config", vae_yaml, "--no-mlflow",
+             "--use-cpu", "--experiment-name", "smoke",
+             "--comment", "cli smoke",
+             "--lpips-weights", f"{d}/lpips.pth",
+             "--fid-weights", f"{d}/inception.pth"])
+    vae_ckpt = f"{d}/ckpts/smoke/vae-epoch-00.ckpt"
+    assert os.path.exists(vae_ckpt)
+    # dev FID + dev losses must be in the CSV metrics
+    csv = f"{d}/logs/smoke_metrics.csv"
+    content = open(csv).read()
+    assert "dev/FID" in content and "dev/recon_loss" in content
+
+    # ---- 2b. missing LPIPS without acknowledgment must fail loudly ----
+    env_proc = subprocess.run(
+        [sys.executable, f"{SCRIPTS}/train_vae.py", "--config", vae_yaml,
+         "--no-mlflow", "--use-cpu"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "IDTPU_NO_TQDM": "1"},
+        cwd=REPO,
+    )
+    assert env_proc.returncode != 0
+    assert "allow-no-lpips" in (env_proc.stderr + env_proc.stdout)
+
+    # ---- 3. prepare diffusion dataset (random labels; no CLIP weights) ----
+    run_cli([f"{SCRIPTS}/prepare_dataset.py", "diffusion",
+             "--diffusion-images", blob, "--vae-checkpoint", vae_ckpt,
+             "--out", f"{d}/diff", "--labels-mode", "random",
+             "--batch-size", "2", "--use-cpu"])
+    lat = np.load(f"{d}/diff/diffusion_dataset.npy")
+    lab = np.load(f"{d}/diff/diffusion_labels.npy")
+    assert lat.shape == (6, 8, 8, 6) and lat.dtype == np.float16  # mean||logvar
+    assert lab.shape == (6,) and lab.dtype == np.uint8
+
+    # ---- 4. train stage 2 ----
+    diff_yaml = os.path.join(d, "diff.yaml")
+    _write_yaml(diff_yaml, f"""
+z_dim: 3
+channels: [8, 16]
+mid_channels: [16, 16]
+time_dim: 16
+num_res_layers: 1
+num_heads: 2
+num_groups: 4
+num_classes: 3
+num_steps: 20
+beta_start: 0.0001
+beta_end: 0.02
+noise_type: linear
+ae_type: kl
+cond_drop_prob: 0.15
+learning_rate: 1e-4
+warmup_steps: 2
+batch_size: 2
+epochs: 1
+clip_grad: 1.0
+precision: fp32
+compile: true
+train_set: {d}/diff/diffusion_dataset.npy
+train_labels: {d}/diff/diffusion_labels.npy
+checkpoints_dir: {d}/ckpts
+logs_dir: {d}/logs
+seed: 7
+log_interval: 2
+""")
+    run_cli([f"{SCRIPTS}/train_diffusion.py", "--config", diff_yaml, "--no-mlflow",
+             "--use-cpu", "--experiment-name", "smoke"])
+    unet_ckpt = f"{d}/ckpts/smoke/unet-epoch-00.ckpt"
+    assert os.path.exists(unet_ckpt)
+
+    # ---- 5. bundle ----
+    bundle = f"{d}/ckpts/bundle.ckpt"
+    run_cli([f"{SCRIPTS}/make_bundle.py", "--vae", vae_ckpt, "--unet", unet_ckpt,
+             "--config", diff_yaml, "--out", bundle])
+    assert os.path.exists(bundle)
+
+    # ---- 6. sample grid (ddim, with the per-step progress callback) ----
+    out_png = f"{d}/grid.png"
+    run_cli([f"{SCRIPTS}/sample_grid.py", bundle, "--cfg", "1", "3",
+             "--seed", "0", "--sampler", "ddim", "--steps", "4",
+             "--out", out_png, "--use-cpu", "--progress"])
+    assert os.path.getsize(out_png) > 0
+
+    # ---- 7. eval_fid ----
+    proc = run_cli([f"{SCRIPTS}/eval_fid.py", bundle, "--real", blob,
+                    "--fid-weights", f"{d}/inception.pth",
+                    "--num-images", "4", "--batch", "3", "--sampler", "ddim",
+                    "--steps", "2", "--use-cpu"])
+    score = float(proc.stdout.strip().splitlines()[-1])
+    assert np.isfinite(score) and score >= 0.0

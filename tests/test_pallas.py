@@ -93,6 +93,26 @@ def test_packed_attention_matches_reference(n, heads, c):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
 
 
+def test_fp32_mode_never_hits_pallas_kernels(monkeypatch):
+    """fp32 verification mode (<=1e-4 torch parity) must be bit-identical
+    with the Pallas flags on or off: the bf16 packed kernel is gated on the
+    module compute dtype (models/layers.py), not just the backend."""
+    from image_diffusion_tpu.models.layers import SpatialSelfAttention
+
+    mod = SpatialSelfAttention(num_heads=2, num_groups=4, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16), jnp.float32)
+    variables = mod.init(jax.random.key(1), x)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("IDTPU_PALLAS_ATTN", flag)
+        monkeypatch.setenv("IDTPU_PALLAS_GN", flag)
+        outs[flag] = np.asarray(mod.apply(variables, x))
+    assert np.array_equal(outs["0"], outs["1"]), (
+        "fp32 attention output changed with Pallas flags -> dtype gate broken"
+    )
+
+
 def test_packed_attention_gradients():
     from image_diffusion_tpu.ops.pallas.attention import _packed_forward, reference_packed_attention
 

@@ -209,3 +209,71 @@ def test_vae_reconstruction_figure_logging(tmp_path, image_data):
     trainer = VAETrainer(cfg, image_data, None, logger, MetricHolder(1), run_name="fig")
     assert trainer.plot_images is not None
     trainer.train()  # freq=1 -> figure every step; must not raise
+
+
+class RecordingLogger(BasicLogger):
+    def __init__(self):
+        super().__init__("/tmp", "rec", no_mlflow=True, log_interval=1)
+        self._mlflow = None
+        self._csv_path = None
+        self.metrics = {}
+
+    def log_metric(self, name, val, step):
+        self.metrics.setdefault(name, []).append((step, float(val)))
+
+
+def test_epoch_loss_averages_all_steps(tmp_path, diffusion_data):
+    """epoch_loss must average EVERY step, including the tail steps when
+    spe % log_interval != 0 (reference trainers/diffusion_trainer.py:206-209
+    averages all steps; the round-1 code dropped the tail)."""
+    # 8 samples / batch 2 -> spe=4; log_interval=3 -> flush at step 3, tail=1
+    cfg = tiny_diffusion_config(tmp_path, epochs=1, batch_size=2, log_interval=3)
+    logger = RecordingLogger()
+    trainer = DiffusionTrainer(cfg, diffusion_data, logger, MetricHolder(3), run_name="el")
+
+    captured = []
+    orig = trainer.train_step
+
+    def wrapped(state, x, c, rng):
+        state, m = orig(state, x, c, rng)
+        captured.append(float(m["unet/loss"]))
+        return state, m
+
+    trainer.train_step = wrapped
+    trainer.train()
+
+    assert len(captured) == 4
+    (_, logged), = logger.metrics["unet/epoch_loss"]
+    assert logged == pytest.approx(float(np.mean(captured)), rel=1e-6)
+
+
+def test_dev_eval_covers_full_dev_set(tmp_path, image_data):
+    """Dev metrics must cover every dev sample: with 8 samples and batch 3
+    the tail batch (2 valid) is padded but weighted correctly, unlike the
+    reference-era truncation that dropped it."""
+    from image_diffusion_tpu.models.fid import FID
+
+    cfg = tiny_vae_config(tmp_path, epochs=1, batch_size=3, disc_start=100)
+    logger = RecordingLogger()
+
+    seen = []
+
+    def feature_fn(imgs):
+        return jnp.mean(imgs, axis=(1, 2))  # (N, 3) trivial features
+
+    fid = FID(feature_fn, 3)
+    orig_update = fid.update_fake
+
+    def spy(images01, n_valid=None):
+        seen.append(n_valid)
+        orig_update(images01, n_valid)
+
+    fid.update_fake = spy
+    trainer = VAETrainer(
+        cfg, image_data, image_data, logger, MetricHolder(1), run_name="fd", fid_fn=fid
+    )
+    trainer._evaluate(0, jax.random.key(0))
+
+    assert seen == [3, 3, 2]          # 8 = 3 + 3 + 2: full coverage
+    assert fid.fake.n == 8            # pad rows excluded from the stats
+    assert logger.metrics["dev/recon_loss"]
