@@ -7,10 +7,17 @@ evaluation per step, final VAE decode; reference modules/diffusion.py:51-59
 + README.md:42, ~12 minutes on a T4-class GPU) — on one TPU chip with the
 full-size shipped architectures (60M UNet, 36M KL-VAE) in bf16.
 
-Prints ONE JSON line:
+Prints the headline JSON line first:
   {"metric": "cfg_grid_images_per_sec_per_chip", "value": ..., "unit":
    "images/sec/chip", "vs_baseline": ...}
 vs_baseline is speedup over the reference's 27 img / 720 s = 0.0375 img/s.
+
+A second JSON line reports full-size UNet TRAIN throughput (batch 48,
+bf16, the dominant ~220k-step workload).  The reference publishes no train
+rate, so its vs_baseline uses a documented fwd-pass-derived estimate: the
+reference T4 samples 27*2*1000 UNet forwards in ~720s = 75 fwd/s; a train
+step costs ~3 forward-equivalents (fwd+bwd), giving ~25 samples/s
+estimated T4 training rate.
 """
 
 import json
@@ -92,6 +99,55 @@ def main():
     print(
         f"[bench] {n_images} images, 1000 DDPM steps, {dt:.2f}s wall on "
         f"{n_chips} chip(s); reference ~720s on T4",
+        file=sys.stderr,
+    )
+
+    # ---- second metric: full-size train-step throughput ----
+    from image_diffusion_tpu.ops import schedule as S
+    from image_diffusion_tpu.training.diffusion_trainer import (
+        EMATrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = 48
+    sched = S.make_schedule(1000, 1e-4, 0.02, "linear")
+    state = EMATrainState.create(
+        apply_fn=unet.apply,
+        params=jax.tree.map(jnp.copy, unet_vars["params"]),
+        tx=make_optimizer(5e-5, 500, 1.0),
+        ema_params=None,
+    )
+    step = make_train_step(unet, sched, 0.15, reparametrize=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 6)).astype(np.float16))
+    c = jnp.asarray(rng.integers(0, 3, (batch,)).astype(np.uint8))
+    key = jax.random.key(1)
+
+    for _ in range(6):  # compile + warmup
+        state, m = step(state, x, c, key)
+    wait(m["unet/loss"])
+    t0 = time.time()
+    for _ in range(20):
+        state, m = step(state, x, c, key)
+    wait(m["unet/loss"])  # queue drains in order: all 20 steps done
+    step_dt = (time.time() - t0) / 20
+
+    train_sps = batch / step_dt / n_chips
+    est_t4_train_sps = 25.0  # derived estimate, see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(train_sps, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(train_sps / est_t4_train_sps, 2),
+            }
+        )
+    )
+    print(
+        f"[bench] train step {step_dt*1e3:.1f} ms @ batch {batch} "
+        f"({train_sps:.0f} samples/s/chip); T4 estimate ~25 samples/s",
         file=sys.stderr,
     )
 

@@ -38,6 +38,8 @@ def save_checkpoint(path: str, architecture: dict | None = None, epoch: int | No
     Mirrors the reference save_checkpoint kwargs API
     (modules/util.py:81-92): each kwarg is a named state tree.
     """
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # multi-host: exactly one writer (all hosts hold replicas)
     # to_state_dict flattens namedtuple pytrees (optax states) into dicts
     payload: dict[str, Any] = {
         name: serialization.to_state_dict(_to_host(tree))
@@ -69,6 +71,8 @@ def save_checkpoint_async(path: str, architecture: dict | None = None, epoch: in
     (at most one write in flight — bounded memory)."""
     import threading
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     host_trees = {
         name: jax.tree.map(lambda x: np.asarray(x), tree)
         for name, tree in trees.items()

@@ -142,10 +142,21 @@ class TrainCommon:
     logs_dir: str = "./logs"
     seed: int | None = 2018
     log_interval: int = 50
+    # micro-batch gradient accumulation: batch_size splits into grad_accum
+    # micro-batches scanned inside the jitted step, gradients (and VQ-EMA
+    # statistics) averaged/summed and applied ONCE — a capability the
+    # reference explicitly forbids (trainers/vae_trainer.py:230-234)
+    grad_accum: int = 1
 
     @property
     def compute_dtype(self) -> jnp.dtype:
         return resolve_precision(self.precision)
+
+    def validate_accum(self):
+        if self.grad_accum < 1 or self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"grad_accum {self.grad_accum} must divide batch_size {self.batch_size}"
+            )
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,17 @@ class BasicLogger:
         self._mlflow = None
         self._csv_path = None
 
+        # multi-host: only process 0 writes metrics/figures (console stays
+        # on every host for debuggability)
+        try:
+            import jax
+
+            self._is_main = jax.process_index() == 0
+        except Exception:  # pragma: no cover
+            self._is_main = True
+        if not self._is_main:
+            return
+
         os.makedirs(logs_dir, exist_ok=True)
         if not no_mlflow:
             try:

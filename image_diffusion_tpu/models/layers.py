@@ -138,9 +138,9 @@ class GroupNorm(nn.Module):
 
     The reference relies on torch autocast running GN in fp32; we make that
     explicit so bf16 training stays stable.  With `act=True` the trailing
-    SiLU is folded in — and when the IDTPU_PALLAS_GN flag is on and the
-    activation fits VMEM, the whole GN+SiLU runs as one fused Pallas kernel
-    (ops/pallas/groupnorm.py), halving HBM traffic for the res-block prefix.
+    SiLU is folded in.  (A fused Pallas GN+SiLU kernel was measured SLOWER
+    than XLA's own fusion on v5e — 21.7s vs 21.2s sampling grid, 104.8 vs
+    100.3 ms/train-step — and deleted; see ops/pallas/__init__.py.)
     """
 
     num_groups: int
@@ -151,18 +151,6 @@ class GroupNorm(nn.Module):
     def __call__(self, x):
         C = x.shape[-1]
         scale, bias = _Affine(C, name="norm")()
-
-        if self.act and x.ndim == 4:
-            from ..ops import pallas as pk
-
-            # same dtype gate as attention: fp32 verification mode must not
-            # run the bf16-affine fused kernel
-            if (
-                pk.groupnorm_enabled()
-                and self.dtype == jnp.bfloat16
-                and pk.fits_vmem(x.shape, x.dtype)
-            ):
-                return pk.groupnorm_silu(x, scale, bias, self.num_groups).astype(self.dtype)
 
         # Stats without reshaping the big activation (a (B, HW, G, Cg)
         # reshape forces lane relayouts that profiled as ~copy traffic):

@@ -143,6 +143,17 @@ class Decoder(nn.Module):
         return x
 
 
+def codebook_ema_update(ema_cluster_size, ema_w, counts, dw, gamma: float, epsilon: float):
+    """One EMA codebook update from batch statistics -> (cluster_size, ema_w,
+    embeddings).  Shared by the in-forward update and the grad-accumulation
+    path (statistics summed over micro-batches, applied once)."""
+    new_cs = ema_cluster_size * gamma + (1.0 - gamma) * counts
+    n = jnp.sum(new_cs)
+    smoothed = (new_cs + epsilon) / (n + new_cs.shape[0] * epsilon) * n
+    new_ema_w = ema_w * gamma + (1.0 - gamma) * dw
+    return smoothed, new_ema_w, new_ema_w / smoothed[:, None]
+
+
 class Codebook(nn.Module):
     """VQ bottleneck with EMA-updated codebook.
 
@@ -168,7 +179,7 @@ class Codebook(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
+    def __call__(self, z, train: bool = False, defer_ema: bool = False):
         B, H, W, C = z.shape
         bound = 1.0 / self.size
 
@@ -206,14 +217,27 @@ class Codebook(nn.Module):
 
         if train and not self.is_initializing():
             counts = jnp.sum(one_hot, axis=0)
-            new_cs = ema_cluster_size.value * self.gamma + (1.0 - self.gamma) * counts
-            n = jnp.sum(new_cs)
-            smoothed = (new_cs + self.epsilon) / (n + self.size * self.epsilon) * n
             dw = jnp.dot(one_hot.T, flat, preferred_element_type=jnp.float32, precision="highest")
-            new_ema_w = ema_w.value * self.gamma + (1.0 - self.gamma) * dw
-            ema_cluster_size.value = smoothed
-            ema_w.value = new_ema_w
-            embeddings.value = new_ema_w / smoothed[:, None]
+            if defer_ema:
+                # gradient accumulation: expose the raw batch statistics
+                # (global sums, so micro-batch sums == full-batch sums) and
+                # let the caller apply `codebook_ema_update` ONCE per
+                # optimizer step — the accumulation-safe semantics the
+                # reference forbids (trainers/vae_trainer.py:230-234)
+                self.sow("vq_stats", "counts", counts,
+                         reduce_fn=lambda a, b: a + b,
+                         init_fn=lambda: jnp.zeros((self.size,), jnp.float32))
+                self.sow("vq_stats", "dw", dw,
+                         reduce_fn=lambda a, b: a + b,
+                         init_fn=lambda: jnp.zeros((self.size, self.dim), jnp.float32))
+            else:
+                cs, w, emb_new = codebook_ema_update(
+                    ema_cluster_size.value, ema_w.value, counts, dw,
+                    self.gamma, self.epsilon,
+                )
+                ema_cluster_size.value = cs
+                ema_w.value = w
+                embeddings.value = emb_new
 
         commitment = jnp.mean((jax.lax.stop_gradient(quant) - flat) ** 2)
         quant_loss = self.beta * commitment
@@ -289,11 +313,14 @@ class VAE(nn.Module):
                 dtype=self.dtype,
             )
 
-    def __call__(self, x, sample: bool | None = None, train: bool = False):
+    def __call__(self, x, sample: bool | None = None, train: bool = False,
+                 defer_ema: bool = False, noise=None):
         """Full roundtrip -> (x_hat, prior_loss, perplexity)."""
         if sample is None:
             sample = self.bottleneck == "kl"
-        z, prior_loss, perplexity = self.encode(x, sample=sample, train=train)
+        z, prior_loss, perplexity = self.encode(
+            x, sample=sample, train=train, defer_ema=defer_ema, noise=noise
+        )
         if self.bottleneck == "kl" and not sample:
             # deterministic roundtrip: decode the posterior mean (the raw
             # encode output is the full mean || log_var map)
@@ -301,12 +328,16 @@ class VAE(nn.Module):
         x_hat = self.decode(z)
         return x_hat, prior_loss, perplexity
 
-    def encode(self, x, sample: bool = False, train: bool = False):
+    def encode(self, x, sample: bool = False, train: bool = False,
+               defer_ema: bool = False, noise=None):
         """-> (z, prior_loss, perplexity).
 
         KL with sample=False returns the raw (mean || log_var) 2*z_dim map —
         the format stored by dataset preparation (reference
-        scripts/prepare_dataset.py:98-109).
+        scripts/prepare_dataset.py:98-109).  `noise` optionally supplies the
+        reparametrization draw explicitly (grad accumulation pre-draws it at
+        full-batch shape so micro-batching is bit-equivalent); default draws
+        from the 'sample' rng stream.
         """
         if self.bottleneck == "vq" and sample:
             raise ValueError("Cannot sample from the VQ model!")
@@ -314,15 +345,16 @@ class VAE(nn.Module):
         z = self.encoder(x)
 
         if self.bottleneck == "vq":
-            return self.codebook(z, train=train)
+            return self.codebook(z, train=train, defer_ema=defer_ema)
 
         z32 = z.astype(jnp.float32)
         mean, log_var = jnp.split(z32, 2, axis=-1)
         log_var = jnp.clip(log_var, -30.0, 20.0)
         kl = -0.5 * jnp.sum(1.0 + log_var - mean**2 - jnp.exp(log_var), axis=(1, 2, 3))
         if sample:
+            if noise is None:
+                noise = jax.random.normal(self.make_rng("sample"), mean.shape, jnp.float32)
             std = jnp.exp(0.5 * log_var)
-            noise = jax.random.normal(self.make_rng("sample"), mean.shape, jnp.float32)
             out = (mean + noise * std).astype(self.dtype)
         else:
             out = z

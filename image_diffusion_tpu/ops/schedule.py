@@ -156,6 +156,63 @@ def ddim_step(
     return x_prev, x0
 
 
+def dpmpp_2m_step(
+    sched: Schedule,
+    xt: jax.Array,
+    eps_hat: jax.Array,
+    t: jax.Array,
+    t_prev: jax.Array,
+    x0_prev: jax.Array,
+    h_prev: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One DPM-Solver++(2M) step x_t -> x_{t_prev} (Lu et al. 2022b).
+
+    Second-order multistep solver in data-prediction form — a capability
+    beyond the reference: high-quality sampling in ~15-25 UNet evaluations
+    (vs 50+ for DDIM).  Scan-friendly multistep state: the caller carries
+    (x0_prev, h_prev) between steps; pass h_prev <= 0 as the "no history"
+    sentinel (first step degrades to first order, which equals DDIM eta=0 —
+    pinned by test).  t_prev < 0 means the final step to x0.
+
+    With lambda_t = log(alpha_t / sigma_t) (alpha = sqrt(acp),
+    sigma = sqrt(1-acp)), h = lambda_prev - lambda_t > 0, r = h_prev / h:
+
+        D      = (1 + 1/(2r)) x0_t - 1/(2r) x0_{prev}      (2nd order)
+        x_prev = (sigma_prev / sigma_t) x_t - alpha_prev expm1(-h) D
+    """
+    nd = xt.ndim
+    acp_t = _bcast(sched.alpha_cum_prod[t], nd)
+    acp_p_raw = jnp.where(
+        _bcast(t_prev, nd) >= 0,
+        _bcast(sched.alpha_cum_prod[jnp.maximum(t_prev, 0)], nd),
+        1.0,
+    )
+    final = _bcast(t_prev, nd) < 0
+    # keep the not-taken formula branch finite at acp_prev == 1
+    acp_p = jnp.minimum(acp_p_raw, 1.0 - 1e-7)
+
+    x0 = predict_x0(sched, xt, eps_hat, t)
+
+    lam = lambda a: 0.5 * jnp.log(a / (1.0 - a))
+    lam_t, lam_p = lam(acp_t), lam(acp_p)
+    h = lam_p - lam_t
+
+    hp = _bcast(h_prev, nd) if jnp.ndim(h_prev) else h_prev
+    r = hp / h
+    use_2nd = hp > 0
+    coeff = jnp.where(use_2nd, 1.0 / (2.0 * jnp.where(use_2nd, r, 1.0)), 0.0)
+    D = (1.0 + coeff) * x0 - coeff * x0_prev
+
+    sigma_t = jnp.sqrt(1.0 - acp_t)
+    sigma_p = jnp.sqrt(1.0 - acp_p)
+    alpha_p = jnp.sqrt(acp_p)
+    x_formula = (sigma_p / sigma_t) * xt - alpha_p * jnp.expm1(-h) * D
+    # final denoise-to-x0 step runs FIRST order (official lower_order_final:
+    # h -> inf there makes the 2nd-order extrapolation factor 1/(2r) blow up)
+    x_prev = jnp.where(final, x0, x_formula)
+    return x_prev, x0, jnp.mean(h)
+
+
 def ddpm_step(
     sched: Schedule,
     xt: jax.Array,

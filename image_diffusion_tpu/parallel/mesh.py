@@ -11,7 +11,12 @@ Axes:
             size 1 by default since the 36M/66M models replicate easily.
 
 Multi-host: call `initialize_distributed()` first (uses TPU pod env);
-jax.devices() then spans all hosts and the same mesh code applies.
+jax.devices() then spans all hosts and the same global-view code applies:
+`training/data.py` builds each batch from process-local rows only
+(jax.make_array_from_process_local_data — no host ever materializes the
+global batch), and checkpoint/metric writes are gated to process 0
+(core/checkpoint.py, core/logging.py).  Exercised by a real two-process CPU
+`jax.distributed` run in tests/test_multiprocess.py.
 """
 
 from __future__ import annotations

@@ -106,6 +106,24 @@ def _sample_loop(
             return x_prev, None
 
         x0, _ = jax.lax.scan(step, x_init, (ts, ts_prev))
+    elif sampler == "dpm":
+        # DPM-Solver++(2M): multistep carry (x0_prev, h_prev); deterministic
+        ts = timesteps
+        ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+
+        def step(carry, t_pair):
+            xt, x0_prev, h_prev = carry
+            t, t_prev = t_pair
+            eps_hat = eps_fn(xt, t)
+            x_next, x0, h = S.dpmpp_2m_step(
+                sched, xt, eps_hat,
+                jnp.full((B,), t), jnp.full((B,), t_prev),
+                x0_prev, h_prev,
+            )
+            return (x_next, x0, h), None
+
+        init = (x_init, jnp.zeros_like(x_init), jnp.float32(-1.0))
+        (x0, _, _), _ = jax.lax.scan(step, init, (ts, ts_prev))
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
 
@@ -189,8 +207,8 @@ class DiffusionPipeline:
         x_init = jax.random.normal(key, (B, *self.latent_shape), jnp.float32)
 
         timesteps = None
-        if sampler == "ddim":
-            n = num_inference_steps or 50
+        if sampler in ("ddim", "dpm"):
+            n = num_inference_steps or (20 if sampler == "dpm" else 50)
             # evenly spaced descending subsequence of the training steps
             import numpy as np
 
@@ -214,6 +232,9 @@ class DiffusionPipeline:
             unet_vars = replicate(mesh, unet_vars)
             vae_vars = replicate(mesh, vae_vars)
 
+        from ..ops import pallas as pk
+
+        pk.set_context("sample")  # Pallas attention default-on for inference
         global _PROGRESS_BAR
         if progress:
             from tqdm import tqdm

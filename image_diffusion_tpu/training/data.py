@@ -63,15 +63,25 @@ def epoch_batches(
                 f"axis ({d}); pick a batch size that shards evenly"
             )
     if shuffle_seed is not None:
+        # the same seed on every process -> identical global permutation,
+        # so per-process shard selection is consistent across hosts
         order = np.random.default_rng(shuffle_seed).permutation(n)
     else:
         order = np.arange(n)
 
     num_batches = n // batch_size
     sharding = batch_sharding(mesh) if mesh is not None else None
+    multiproc = jax.process_count() > 1
 
     def put(i: int):
         idx = order[i * batch_size : (i + 1) * batch_size]
+        if sharding is not None and multiproc:
+            # multi-host: each process materializes ONLY the rows its
+            # addressable devices hold and assembles the global array from
+            # the local shards — no process ever builds the global batch
+            return tuple(
+                _put_process_local(a, idx, sharding) for a in dataset.arrays
+            )
         host = tuple(np.ascontiguousarray(a[idx]) for a in dataset.arrays)
         if sharding is not None:
             return tuple(jax.device_put(h, sharding) for h in host)
@@ -83,6 +93,25 @@ def epoch_batches(
         if i + prefetch < num_batches:
             buf.append(put(i + prefetch))
         yield buf.pop(0)
+
+
+def _put_process_local(array: np.ndarray, idx: np.ndarray, sharding) -> jax.Array:
+    """Build a globally-sharded batch from process-local rows.
+
+    Uses the sharding's index map to find which slice of the global batch
+    axis this process's devices own (contiguous for a P('data') sharding on
+    a process-ordered mesh), gathers only those dataset rows, and assembles
+    the global jax.Array via make_array_from_process_local_data.
+    """
+    global_shape = (len(idx), *array.shape[1:])
+    index_map = sharding.addressable_devices_indices_map(global_shape)
+    starts = sorted(
+        (sl[0].start or 0, sl[0].stop if sl[0].stop is not None else len(idx))
+        for sl in index_map.values()
+    )
+    lo, hi = starts[0][0], max(s[1] for s in starts)
+    local = np.ascontiguousarray(array[idx[lo:hi]])
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
 
 
 def steps_per_epoch(dataset: ArrayDataset, batch_size: int) -> int:
@@ -110,6 +139,11 @@ def eval_batches(
         n_valid = len(idx)
         if n_valid < batch_size:
             idx = np.concatenate([idx, np.arange(batch_size - n_valid) % n])
+        if sharding is not None and jax.process_count() > 1:
+            yield n_valid, tuple(
+                _put_process_local(a, idx, sharding) for a in dataset.arrays
+            )
+            continue
         host = tuple(np.ascontiguousarray(a[idx]) for a in dataset.arrays)
         if sharding is not None:
             yield n_valid, tuple(jax.device_put(h, sharding) for h in host)

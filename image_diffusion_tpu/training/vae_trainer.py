@@ -73,18 +73,18 @@ class VAETrainState(struct.PyTreeNode):
     disc_opt: Any
 
 
-def normalize_batch(x: jax.Array, flip_rng: jax.Array | None) -> jax.Array:
-    """uint8 HWC -> [-1, 1] fp32 (+ random horizontal flip when rng given).
+def normalize_batch(x: jax.Array, flip_mask: jax.Array | None = None) -> jax.Array:
+    """uint8 HWC -> [-1, 1] fp32 (+ horizontal flip where flip_mask is set).
 
     Mirrors the reference train transform chain u8/255 -> Normalize(.5,.5)
     -> RandomHorizontalFlip(p=.5) (reference scripts/train_vae.py:63-77),
-    executed on device.
+    executed on device.  The (B,) bool flip decisions are drawn by the
+    caller so gradient accumulation can pre-draw them at full-batch shape.
     """
     x = x.astype(jnp.float32) / 255.0
     x = (x - 0.5) / 0.5
-    if flip_rng is not None:
-        flip = jax.random.bernoulli(flip_rng, 0.5, (x.shape[0],))
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    if flip_mask is not None:
+        x = jnp.where(flip_mask[:, None, None, None], x[:, :, ::-1, :], x)
     return x
 
 
@@ -97,27 +97,44 @@ def make_vae_train_step(
     disc_tx,
 ):
     """Build the jitted VAE-GAN step.  `percept_fn(real, fake) -> scalar`
-    is the LPIPS hook (None -> perceptual term contributes zero)."""
+    is the LPIPS hook (None -> perceptual term contributes zero).
+
+    grad_accum > 1 scans micro-batches inside each phase and applies ONE
+    optimizer update per phase from the averaged gradients.  Randomness
+    (flips, reparam noise) is pre-drawn at full-batch shape, and the VQ
+    codebook's EMA statistics are global sums collected per micro-batch and
+    applied once — so the accumulated step equals the single-shot step at
+    the same batch size exactly, except discriminator BatchNorm batch
+    statistics (computed per micro-batch, inherent to BN).  The reference
+    structurally forbids accumulation (trainers/vae_trainer.py:230-234).
+    """
     train_cfg = cfg.train
     is_vq = cfg.arch.bottleneck == "vq"
+    accum = train_cfg.grad_accum
     d_loss_fn = D_LOSSES[train_cfg.gan_loss]
     g_loss_fn = G_LOSSES[train_cfg.gan_loss]
+    latent_factor = 2 ** (len(cfg.arch.channels) - 1)
 
-    def vae_forward(vae_params, codebook, x, sample_rng):
+    def vae_forward(vae_params, codebook, x, eps, defer_ema: bool = False):
+        """-> (x_hat, prior, perp, new_codebook, vq_stats)."""
         variables = {"params": vae_params}
         if is_vq:
             variables["codebook"] = codebook
-            (x_hat, prior, perp), mut = vae_model.apply(
-                variables, x, train=True, mutable=["codebook"]
-            )
-            new_codebook = mut["codebook"]
+            if defer_ema:
+                (x_hat, prior, perp), mut = vae_model.apply(
+                    variables, x, train=True, defer_ema=True, mutable=["vq_stats"]
+                )
+                new_codebook, stats = codebook, mut["vq_stats"]["codebook"]
+            else:
+                (x_hat, prior, perp), mut = vae_model.apply(
+                    variables, x, train=True, mutable=["codebook"]
+                )
+                new_codebook, stats = mut["codebook"], None
         else:
-            x_hat, prior, perp = vae_model.apply(
-                variables, x, sample=True, rngs={"sample": sample_rng}
-            )
-            new_codebook = codebook
+            x_hat, prior, perp = vae_model.apply(variables, x, sample=True, noise=eps)
+            new_codebook, stats = codebook, None
         x_hat = jnp.clip(x_hat.astype(jnp.float32), -1.0, 1.0)
-        return x_hat, prior, perp, new_codebook
+        return x_hat, prior, perp, new_codebook, stats
 
     def disc_apply(params, stats, x):
         out, mut = disc_model.apply(
@@ -126,45 +143,113 @@ def make_vae_train_step(
         # tiny configs may have no BatchNorm layers at all
         return out.astype(jnp.float32), mut.get("batch_stats", stats)
 
+    def apply_codebook_ema(codebook, stats):
+        """One EMA application from accumulated (counts, dw) sums.
+        `codebook` is the VAE's 'codebook' variable collection, whose inner
+        scope is the Codebook submodule (named 'codebook' in VAE.setup)."""
+        from ..models.vae import codebook_ema_update
+
+        inner = codebook["codebook"]
+        cs, w, emb = codebook_ema_update(
+            inner["ema_cluster_size"], inner["ema_w"],
+            stats["counts"], stats["dw"],
+            cfg.arch.codebook_gamma, 1e-5,
+        )
+        return {**codebook, "codebook": {
+            **inner, "ema_cluster_size": cs, "ema_w": w, "embeddings": emb,
+        }}
+
+    def micro_split(tree, B):
+        return jax.tree.map(lambda v: v.reshape(accum, B // accum, *v.shape[1:]), tree)
+
     @partial(jax.jit, static_argnames=("disc_active",), donate_argnums=0)
-    def train_step(state: VAETrainState, x_u8, rng, disc_active: bool):
+    def _train_step(state: VAETrainState, x_u8, rng, disc_active: bool):
         rng = jax.random.fold_in(rng, state.step)
         k_flip, k_sample = jax.random.split(rng)
-        x = normalize_batch(x_u8, k_flip)
+        B = x_u8.shape[0]
+        flip = jax.random.bernoulli(k_flip, 0.5, (B,))
+        x = normalize_batch(x_u8, flip)
+        eps = None
+        if not is_vq:
+            lh, lw = x.shape[1] // latent_factor, x.shape[2] // latent_factor
+            eps = jax.random.normal(k_sample, (B, lh, lw, cfg.arch.z_dim), jnp.float32)
 
         metrics = {}
-
-        # ---- forward for the discriminator phase (detached fakes) ----
-        x_hat_det, prior_det, perp_det, _ = vae_forward(
-            state.vae_params, state.codebook, x, k_sample
-        )
-        x_hat_det = jax.lax.stop_gradient(x_hat_det)
-        metrics["vae/prior_loss"] = prior_det
-        if is_vq:
-            metrics["vae/perplexity"] = perp_det
-
         disc_params, disc_stats, disc_opt = state.disc_params, state.disc_stats, state.disc_opt
 
-        if disc_active:
-            def d_objective(dp):
-                out_fake, stats1 = disc_apply(dp, state.disc_stats, x_hat_det)
-                out_real, stats2 = disc_apply(dp, stats1, x)
-                d = d_loss_fn(out_fake, out_real)
-                return train_cfg.disc_weight * d, (d, out_fake, out_real, stats2)
+        # ---- phase 1: discriminator (detached fakes, then reals) ----
+        def d_objective(dp, stats_in, x, x_hat_det):
+            out_fake, stats1 = disc_apply(dp, stats_in, x_hat_det)
+            out_real, stats2 = disc_apply(dp, stats1, x)
+            d = d_loss_fn(out_fake, out_real)
+            aux = (d, jnp.mean(jax.nn.sigmoid(out_fake) < 0.5),
+                   jnp.mean(jax.nn.sigmoid(out_real) >= 0.5), stats2)
+            return train_cfg.disc_weight * d, aux
 
-            (_, (d_loss, out_fake, out_real, disc_stats)), d_grads = jax.value_and_grad(
-                d_objective, has_aux=True
-            )(disc_params)
+        if accum == 1:
+            x_hat_det, prior_det, perp_det, _, _ = vae_forward(
+                state.vae_params, state.codebook, x, eps
+            )
+            x_hat_det = jax.lax.stop_gradient(x_hat_det)
+            metrics["vae/prior_loss"] = prior_det
+            if is_vq:
+                metrics["vae/perplexity"] = perp_det
+
+            if disc_active:
+                (_, (d_loss, fake_acc, real_acc, disc_stats)), d_grads = (
+                    jax.value_and_grad(d_objective, has_aux=True)(
+                        disc_params, state.disc_stats, x, x_hat_det
+                    )
+                )
+        else:
+            xs = micro_split((x, eps) if eps is not None else (x,), B)
+
+            def d_micro(carry, inp):
+                acc, stats_in, prior_a, perp_a = carry
+                xm = inp[0]
+                em = inp[1] if eps is not None else None
+                x_hat_det, prior, perp, _, _ = vae_forward(
+                    state.vae_params, state.codebook, xm, em
+                )
+                x_hat_det = jax.lax.stop_gradient(x_hat_det)
+                if disc_active:
+                    (_, (d, fa, ra, stats_out)), dg = jax.value_and_grad(
+                        d_objective, has_aux=True
+                    )(disc_params, stats_in, xm, x_hat_det)
+                    acc = jax.tree.map(
+                        jnp.add, acc, {"g": dg, "d": d, "fa": fa, "ra": ra}
+                    )
+                else:
+                    stats_out = stats_in
+                return (acc, stats_out, prior_a + prior, perp_a + perp), None
+
+            zero_acc = {
+                "g": jax.tree.map(jnp.zeros_like, disc_params),
+                "d": jnp.float32(0.0), "fa": jnp.float32(0.0), "ra": jnp.float32(0.0),
+            }
+            (acc, disc_stats, prior_sum, perp_sum), _ = jax.lax.scan(
+                d_micro, (zero_acc, state.disc_stats, jnp.float32(0.0), jnp.float32(0.0)), xs
+            )
+            metrics["vae/prior_loss"] = prior_sum / accum
+            if is_vq:
+                metrics["vae/perplexity"] = perp_sum / accum
+            if disc_active:
+                d_grads = jax.tree.map(lambda g: g / accum, acc["g"])
+                d_loss, fake_acc, real_acc = acc["d"] / accum, acc["fa"] / accum, acc["ra"] / accum
+
+        if disc_active:
             metrics["gan/d_loss"] = d_loss
-            metrics["gan/fake_acc"] = jnp.mean(jax.nn.sigmoid(out_fake) < 0.5)
-            metrics["gan/real_acc"] = jnp.mean(jax.nn.sigmoid(out_real) >= 0.5)
+            metrics["gan/fake_acc"] = fake_acc
+            metrics["gan/real_acc"] = real_acc
             metrics["gan/disc_grad"] = optax.global_norm(d_grads)
             updates, disc_opt = disc_tx.update(d_grads, state.disc_opt, disc_params)
             disc_params = optax.apply_updates(disc_params, updates)
 
-        # ---- generator update (uses the just-updated discriminator) ----
-        def g_objective(vp):
-            x_hat, prior, perp, new_cb = vae_forward(vp, state.codebook, x, k_sample)
+        # ---- phase 2: generator (through the just-updated discriminator) ----
+        def g_objective(vp, stats_in, x, eps_m, defer_ema):
+            x_hat, prior, perp, new_cb, vq_stats = vae_forward(
+                vp, state.codebook, x, eps_m, defer_ema
+            )
             rl = recon_loss(x, x_hat)
             pl = percept_fn(x, x_hat) if percept_fn is not None else jnp.float32(0.0)
             loss = (
@@ -172,21 +257,67 @@ def make_vae_train_step(
                 + rl * train_cfg.recon_weight
                 + prior * train_cfg.prior_weight
             )
-            aux = {"recon": rl, "percept": pl, "codebook": new_cb, "stats": disc_stats}
+            aux = {"recon": rl, "percept": pl, "codebook": new_cb,
+                   "vq_stats": vq_stats, "stats": stats_in}
             if disc_active:
-                out, stats3 = disc_apply(disc_params, disc_stats, x_hat)
+                out, stats3 = disc_apply(disc_params, stats_in, x_hat)
                 g = g_loss_fn(out)
                 loss = loss + g * train_cfg.disc_weight
                 aux["g_loss"] = g
                 aux["stats"] = stats3
+            else:
+                aux["g_loss"] = jnp.float32(0.0)
             return loss, aux
 
-        (_, aux), g_grads = jax.value_and_grad(g_objective, has_aux=True)(state.vae_params)
-        metrics["vae/recon_loss"] = aux["recon"]
-        metrics["vae/percept_loss"] = aux["percept"]
+        if accum == 1:
+            (_, aux), g_grads = jax.value_and_grad(g_objective, has_aux=True)(
+                state.vae_params, disc_stats, x, eps, False
+            )
+            new_codebook, disc_stats = aux["codebook"], aux["stats"]
+            recon_m, percept_m, gl_m = aux["recon"], aux["percept"], aux["g_loss"]
+        else:
+            def g_micro(carry, inp):
+                acc, stats_in, vq_acc = carry
+                xm = inp[0]
+                em = inp[1] if eps is not None else None
+                (_, aux), gg = jax.value_and_grad(g_objective, has_aux=True)(
+                    state.vae_params, stats_in, xm, em, is_vq
+                )
+                acc = jax.tree.map(
+                    jnp.add, acc,
+                    {"g": gg, "recon": aux["recon"], "percept": aux["percept"],
+                     "gl": aux["g_loss"]},
+                )
+                if is_vq:
+                    vq_acc = jax.tree.map(jnp.add, vq_acc, aux["vq_stats"])
+                return (acc, aux["stats"], vq_acc), None
+
+            zero_acc = {
+                "g": jax.tree.map(jnp.zeros_like, state.vae_params),
+                "recon": jnp.float32(0.0), "percept": jnp.float32(0.0),
+                "gl": jnp.float32(0.0),
+            }
+            zero_vq = (
+                {"counts": jnp.zeros_like(state.codebook["codebook"]["ema_cluster_size"]),
+                 "dw": jnp.zeros_like(state.codebook["codebook"]["ema_w"])}
+                if is_vq else {}
+            )
+            (acc, disc_stats, vq_stats), _ = jax.lax.scan(
+                g_micro, (zero_acc, disc_stats, zero_vq), xs
+            )
+            g_grads = jax.tree.map(lambda g: g / accum, acc["g"])
+            recon_m, percept_m = acc["recon"] / accum, acc["percept"] / accum
+            gl_m = acc["gl"] / accum
+            # VQ-EMA: statistics summed over ALL micro-batches, applied once
+            new_codebook = (
+                apply_codebook_ema(state.codebook, vq_stats) if is_vq else state.codebook
+            )
+
+        metrics["vae/recon_loss"] = recon_m
+        metrics["vae/percept_loss"] = percept_m
         metrics["vae/vae_grad"] = optax.global_norm(g_grads)
         if disc_active:
-            metrics["gan/g_loss"] = aux["g_loss"]
+            metrics["gan/g_loss"] = gl_m
         updates, vae_opt = vae_tx.update(g_grads, state.vae_opt, state.vae_params)
         vae_params = optax.apply_updates(state.vae_params, updates)
 
@@ -194,12 +325,19 @@ def make_vae_train_step(
             step=state.step + 1,
             vae_params=vae_params,
             vae_opt=vae_opt,
-            codebook=aux["codebook"],
+            codebook=new_codebook,
             disc_params=disc_params,
-            disc_stats=aux["stats"],
+            disc_stats=disc_stats,
             disc_opt=disc_opt,
         )
         return new_state, metrics
+
+    def train_step(state, x_u8, rng, disc_active: bool):
+        # trace-time context: training defaults to XLA attention
+        from ..ops import pallas as pk
+
+        pk.set_context("train")
+        return _train_step(state, x_u8, rng, disc_active=disc_active)
 
     return train_step
 
@@ -316,6 +454,7 @@ class VAETrainer:
         else:
             logger.log_console("No checkpoint provided. Training from scratch.")
 
+        config.train.validate_accum()
         self.train_step = make_vae_train_step(
             self.vae, self.disc, config, percept_fn, self.vae_tx, self.disc_tx
         )

@@ -35,7 +35,7 @@ def parse_args():
                    help="torch-format InceptionV3 weights (torchvision naming).")
     p.add_argument("--num-images", type=int, default=2700)
     p.add_argument("--cfg", type=float, default=3.0, help="Guidance scale.")
-    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddim")
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default="ddim")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--batch", type=int, default=64, help="Images per sampling call.")

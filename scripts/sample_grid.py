@@ -27,9 +27,10 @@ def parse_args():
                    help="Half-open range of CFG scales, e.g. --cfg 1 10 -> scales 1..9.")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--out", type=str, default="./out.png")
-    p.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm",
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default="ddpm",
                    help="ddpm: reference-parity 1000-step ancestral sampler; "
-                        "ddim: fast subsequence sampling (see --steps/--eta).")
+                        "ddim: fast subsequence sampling (see --steps/--eta); "
+                        "dpm: DPM-Solver++(2M), high quality in ~20 steps.")
     p.add_argument("--steps", type=int, default=50, help="DDIM inference steps.")
     p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
     p.add_argument("--data-parallel", type=int, default=None,

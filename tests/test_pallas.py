@@ -10,11 +10,6 @@ from image_diffusion_tpu.ops.pallas.attention import (
     flash_attention,
     reference_attention,
 )
-from image_diffusion_tpu.ops.pallas.groupnorm import (
-    fits_vmem,
-    groupnorm_silu,
-    reference_groupnorm_silu,
-)
 
 
 @pytest.mark.parametrize("n,d", [(16, 64), (64, 64), (256, 48), (1024, 16)])
@@ -56,21 +51,19 @@ def test_flash_attention_gradient_matches_reference():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
 
 
-@pytest.mark.parametrize("shape,groups", [((2, 8, 8, 32), 8), ((1, 16, 16, 16), 4)])
-def test_groupnorm_silu_matches_reference(shape, groups):
-    key = jax.random.key(0)
-    x = jax.random.normal(key, shape, jnp.float32) * 3 + 1
-    scale = jax.random.normal(jax.random.fold_in(key, 1), (shape[-1],)) * 0.2 + 1
-    bias = jax.random.normal(jax.random.fold_in(key, 2), (shape[-1],)) * 0.1
+def test_train_context_disables_attention_kernel(monkeypatch):
+    """Trainers declare set_context('train'): attention kernel default OFF
+    (measured slower fwd+bwd than pure XLA); env var still overrides."""
+    from image_diffusion_tpu.ops import pallas as pk
 
-    ref = jax.jit(lambda x: reference_groupnorm_silu(x, scale, bias, groups))(x)
-    got = jax.jit(lambda x: groupnorm_silu(x, scale, bias, groups, interpret=True))(x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
-
-
-def test_fits_vmem_gate():
-    assert fits_vmem((1, 32, 32, 512), jnp.bfloat16)
-    assert not fits_vmem((1, 128, 128, 256), jnp.float32)
+    monkeypatch.delenv("IDTPU_PALLAS_ATTN", raising=False)
+    pk.set_context("train")
+    try:
+        assert pk.attention_enabled() is False
+        monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")
+        assert pk.attention_enabled() is True
+    finally:
+        pk.set_context("sample")
 
 
 @pytest.mark.parametrize("n,heads,c", [(1024, 8, 128), (64, 4, 64), (16, 2, 128)])
@@ -106,7 +99,6 @@ def test_fp32_mode_never_hits_pallas_kernels(monkeypatch):
     outs = {}
     for flag in ("0", "1"):
         monkeypatch.setenv("IDTPU_PALLAS_ATTN", flag)
-        monkeypatch.setenv("IDTPU_PALLAS_GN", flag)
         outs[flag] = np.asarray(mod.apply(variables, x))
     assert np.array_equal(outs["0"], outs["1"]), (
         "fp32 attention output changed with Pallas flags -> dtype gate broken"
