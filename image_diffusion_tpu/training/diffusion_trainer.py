@@ -157,6 +157,10 @@ class DiffusionTrainer:
         checkpoint: str | None = None,
         run_name: str = "unet",
         param_sharding: str = "replicated",  # "replicated" | "fsdp"
+        preview_vae: str | None = None,
+        preview_freq: int = 0,
+        preview_scale: float = 3.0,
+        preview_steps: int = 20,
     ):
         self.cfg = config
         self.train_set = train_set
@@ -222,6 +226,21 @@ class DiffusionTrainer:
             logger.log_console(f"Loading model checkpoint from {checkpoint}")
         else:
             logger.log_console("No checkpoint provided. Training from scratch.")
+
+        # optional in-training sample previews (capability beyond the
+        # reference, which trains blind: no eval, no sampling —
+        # trainers/diffusion_trainer.py:206-217): decode a small CFG grid
+        # through a frozen VAE every `preview_freq` epochs.
+        self._preview = None
+        self.preview_freq = preview_freq
+        self.preview_scale = preview_scale
+        self.preview_steps = preview_steps
+        if preview_vae and preview_freq > 0:
+            from ..models.io import load_vae
+
+            _, vae_vars, vae_arch = load_vae(preview_vae)
+            self._preview = (vae_arch, vae_vars)
+            self._preview_pipe = None
 
         config.train.validate_accum()
         self.train_step = make_train_step(
@@ -323,6 +342,35 @@ class DiffusionTrainer:
                 loss_steps += steps_in_buffer
             epoch_loss = epoch_loss_sum / max(loss_steps, 1)
             self.logger.log_metric("unet/epoch_loss", epoch_loss, step=epoch)
+            if self._preview is not None and (epoch + 1) % self.preview_freq == 0:
+                self._log_preview(epoch)
             path = self.save(epoch, asynchronous=True)
             self.logger.log_console(f"Saving checkpoint {path} (async)")
         ckpt.wait_for_async_saves()
+
+    def _log_preview(self, epoch: int) -> None:
+        """Sample a tiny CFG grid with the current (EMA if enabled) weights
+        and log it as a figure — fast DPM-Solver++ subsequence sampling."""
+        from ..core.plotting import plot_cfg_grid
+        from ..pipelines.diffusion import DiffusionPipeline
+
+        vae_arch, vae_vars = self._preview
+        classes = [str(i) for i in range(self.cfg.arch.num_classes)]
+        if self._preview_pipe is None:
+            self._preview_pipe = DiffusionPipeline(
+                vae_arch, vae_vars, self.cfg.arch,
+                {"params": self.state.params}, self.cfg.schedule, classes,
+            )
+        # swap in current weights (variables are call arguments of the jitted
+        # sampler, so this never retraces)
+        params = (
+            self.state.ema_params if self.state.ema_params is not None
+            else self.state.params
+        )
+        self._preview_pipe.unet_variables = {"params": params}
+        imgs = self._preview_pipe.sample(
+            [self.preview_scale], seed=epoch, sampler="dpm",
+            num_inference_steps=self.preview_steps,
+        )
+        fig = plot_cfg_grid(np.asarray(imgs), classes, [self.preview_scale])
+        self.logger.log_figure(f"previews/epoch_{epoch:03}.png", fig)

@@ -23,6 +23,13 @@ def parse_args():
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax_debug_nans (fail fast on NaN/Inf).")
     p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--preview-vae", type=str, default=None,
+                   help="VAE checkpoint for in-training sample previews "
+                        "(a capability the reference lacks).")
+    p.add_argument("--preview-freq", type=int, default=0,
+                   help="Log a sampled CFG grid every N epochs (0 = off).")
+    p.add_argument("--preview-steps", type=int, default=20,
+                   help="DPM-Solver++ steps per preview.")
     return p.parse_args()
 
 
@@ -69,6 +76,8 @@ def main():
     trainer = DiffusionTrainer(
         cfg, train_ds, logger, holder,
         mesh=mesh, checkpoint=args.checkpoint, run_name=run_name,
+        preview_vae=args.preview_vae, preview_freq=args.preview_freq,
+        preview_steps=args.preview_steps,
     )
     trainer.train()
 

@@ -277,3 +277,32 @@ def test_dev_eval_covers_full_dev_set(tmp_path, image_data):
     assert seen == [3, 3, 2]          # 8 = 3 + 3 + 2: full coverage
     assert fid.fake.n == 8            # pad rows excluded from the stats
     assert logger.metrics["dev/recon_loss"]
+
+
+def test_diffusion_trainer_preview_figures(tmp_path, image_data):
+    """--preview-vae/--preview-freq: in-training sample grids through a
+    frozen VAE (capability beyond the reference, which trains blind)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    # a tiny VAE checkpoint to decode previews with
+    vcfg = tiny_vae_config(tmp_path, disc_start=100)
+    vlogger = BasicLogger(str(tmp_path), "pv", no_mlflow=True, log_interval=1)
+    vt = VAETrainer(vcfg, image_data, None, vlogger, MetricHolder(1), run_name="pv")
+    vae_ckpt = vt.save(0)
+
+    # latents shaped for that VAE (16x16 images -> 8x8 latents, mean||logvar)
+    rng = np.random.default_rng(2)
+    latents = rng.normal(size=(8, 8, 8, 6)).astype(np.float16)
+    labels = rng.integers(0, 3, size=(8,)).astype(np.uint8)
+    dcfg = tiny_diffusion_config(tmp_path, epochs=1)
+
+    figures = []
+    logger = RecordingLogger()
+    logger.log_figure = lambda name, fig: figures.append(name)
+    trainer = DiffusionTrainer(
+        dcfg, ArrayDataset(latents, labels), logger, MetricHolder(1),
+        run_name="pv", preview_vae=vae_ckpt, preview_freq=1, preview_steps=4,
+    )
+    trainer.train()
+    assert any(n.startswith("previews/") for n in figures), figures
