@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--batch", type=int, default=64, help="Images per sampling call.")
     p.add_argument("--max-real", type=int, default=10000)
     p.add_argument("--use-cpu", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="Shard each sampling call over N chips.")
     return p.parse_args()
 
 
@@ -71,6 +73,12 @@ def main():
     n_classes = len(pipeline.classes)
     per_call = max(args.batch // n_classes, 1)
 
+    mesh = None
+    if jax.device_count() > 1 or args.data_parallel:
+        from image_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel)
+
     logging.info("Ingesting real features...")
     real = np.load(args.real, mmap_mode="r")
     for i in range(0, min(len(real), args.max_real), 256):
@@ -84,6 +92,7 @@ def main():
         imgs = pipeline.sample(
             args.cfg, num_images=per_call, seed=seed,
             sampler=args.sampler, num_inference_steps=args.steps, eta=args.eta,
+            mesh=mesh,
         )
         imgs01 = (np.asarray(imgs) + 1.0) / 2.0
         take = min(len(imgs01), args.num_images - done)

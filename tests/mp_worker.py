@@ -27,7 +27,7 @@ def main():
     from image_diffusion_tpu.core import checkpoint as ckpt
     from image_diffusion_tpu.core.logging import BasicLogger
     from image_diffusion_tpu.parallel.mesh import make_mesh
-    from image_diffusion_tpu.training.data import ArrayDataset, epoch_batches
+    from image_diffusion_tpu.training.data import ArrayDataset, epoch_batches, eval_batches
 
     mesh = make_mesh()  # (4, 1) data x model over both processes
     data = (np.arange(8 * 4 * 4 * 3) % 251).astype(np.uint8).reshape(8, 4, 4, 3)
@@ -38,6 +38,15 @@ def main():
         assert not x.is_fully_addressable  # genuinely cross-process
         sums.append(int(jax.jit(lambda v: jnp.sum(v.astype(jnp.int32)))(x)))
     print(f"SUMS {pid} {sums}", flush=True)
+
+    # full-coverage eval batches: padded tail assembled per-process too
+    # (12 rows / batch 8 -> one full batch + a 4-valid tail padded to 8)
+    edata = (np.arange(12 * 4 * 4 * 3) % 253).astype(np.uint8).reshape(12, 4, 4, 3)
+    esums = []
+    for n_valid, (x,) in eval_batches(ArrayDataset(edata), 8, mesh):
+        assert x.shape[0] == 8 and not x.is_fully_addressable
+        esums.append((n_valid, int(jax.jit(lambda v: jnp.sum(v.astype(jnp.int32)))(x))))
+    print(f"ESUMS {pid} {esums}", flush=True)
 
     # checkpoint: every process calls, only process 0 may write
     ckpt.save_checkpoint(

@@ -116,3 +116,33 @@ def test_ddim_eta1_consecutive_equals_ddpm_mean_when_unclipped():
         ddpm, _ = S.ddpm_step(sched, xt, eps, t, z)
         ddim, _ = S.ddim_step(sched, xt, eps, t, t - 1, z, eta=1.0)
         np.testing.assert_allclose(np.asarray(ddim), np.asarray(ddpm), atol=5e-4)
+
+
+def test_basiclogger_real_mlflow_backend(tmp_path):
+    """The reference's primary logging backend is MLflow on a sqlite file
+    (modules/util.py:17-54); exercise the real library path, not just the
+    CSV fallback."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pytest.importorskip("mlflow")
+    from image_diffusion_tpu.core.logging import BasicLogger
+
+    logger = BasicLogger(str(tmp_path), "mlftest", no_mlflow=False, log_interval=1)
+    if logger._mlflow is None:
+        pytest.skip("mlflow unavailable/broken in this environment")
+    logger.log_params(lr=1e-4, comment="mlflow path test")
+    logger.log_metric("vae/recon_loss", 0.5, step=1)
+    logger.log_metrics({"unet/loss": 0.25, "unet/lr": 1e-5}, step=2)
+    fig = plt.figure()
+    plt.plot([0, 1], [1, 0])
+    logger.log_figure("plots/test.png", fig)
+    assert os.path.exists(tmp_path / "mlflow.db")
+
+    import mlflow
+
+    runs = mlflow.search_runs(search_all_experiments=True)
+    assert len(runs) >= 1
+    assert float(runs.iloc[0]["metrics.vae/recon_loss"]) == 0.5

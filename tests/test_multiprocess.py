@@ -51,6 +51,17 @@ def test_two_process_data_sharding_and_writes(tmp_path):
         got = eval(line.split(" ", 2)[2])
         assert got == want, (got, want)
 
+    # eval_batches: full coverage with a wrap-padded tail (12 rows, batch 8)
+    edata = (np.arange(12 * 4 * 4 * 3) % 253).astype(np.int64).reshape(12, 4, 4, 3)
+    ewant = [
+        (8, int(edata[:8].sum())),
+        (4, int(edata[8:].sum() + edata[:4].sum())),  # tail wraps to rows 0-3
+    ]
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith(f"ESUMS {pid} ")][0]
+        got = eval(line.split(" ", 2)[2])
+        assert got == ewant, (got, ewant)
+
     # checkpoint written exactly once and loadable
     from image_diffusion_tpu.core.checkpoint import load_checkpoint
 
