@@ -238,10 +238,10 @@ class SpatialSelfAttention(nn.Module):
 
         # Pallas kernels compute in bf16 (the packed kernel hard-casts k/v);
         # the documented fp32 verification mode (<=1e-4 parity) must stay on
-        # the XLA einsum path, so gate on the compute dtype too.
-        use_pallas = (
-            pk.attention_enabled() and kv is None and self.dtype == jnp.bfloat16
-        )
+        # the XLA einsum path, so gate on the compute dtype too.  The mode
+        # ("off"/"packed"/"all") carries the measured per-context defaults.
+        mode = pk.attention_mode() if kv is None and self.dtype == jnp.bfloat16 else "off"
+        use_pallas = mode == "all" or (mode == "packed" and C <= 128)
         if use_pallas and C <= 128:
             # lane-packed kernel: no head-dim padding, no head transposes —
             # this is the dominant 32x32-grid attention (C=128, d=16), which

@@ -1,18 +1,23 @@
-"""Pallas TPU kernels (flash / lane-packed attention).
+"""Pallas TPU kernels (flash / lane-packed attention, fwd + bwd).
 
-Models consult `attention_enabled()` at trace time.  The default is
+Models consult `attention_mode()` at trace time.  The default is
 CONTEXT-DEPENDENT, from on-chip measurements (v5e, full-size models):
 
   * sampling: Pallas attention ON — 20.5s vs 29.7s for the 27-image
     1000-step CFG grid (the lane-packed kernel avoids the 8x head-dim
     padding IO for d=16);
-  * training: Pallas attention OFF — the forward win is smaller than the
-    cost of the XLA-recompute backward (96.8 ms/step pure XLA vs
-    100.3 ms/step Pallas-fwd at batch 48), so pure XLA wins by ~3.5%.
+  * training: lane-packed Pallas attention ON for C <= 128 ("packed"
+    mode) now that the kernel ships a Pallas BACKWARD in the same
+    masked layout: 70.5 ms/step vs 96.9 pure XLA vs 77.4 all-Pallas at
+    batch 48 (tools/measure_train_tpu.py, docs/train_measurements_r2.json)
+    — +37% train throughput.  The padded blockwise kernel's
+    XLA-recompute backward still loses at larger C, so "all" stays a
+    sampling-only default.
 
 Trainers declare their context via `set_context("train")` (the pipeline
-sets "sample"); the env var IDTPU_PALLAS_ATTN=0/1 overrides everything.
-Kernels are validated against XLA references in tests/test_pallas.py.
+sets "sample"); the env var IDTPU_PALLAS_ATTN=0/packed/1 overrides
+everything.  Kernels are validated against XLA references in
+tests/test_pallas.py.
 
 A fused GroupNorm+SiLU kernel was measured and DELETED: 21.7s vs 21.2s
 grid (sampling) and 104.8 vs 100.3 ms/step (training) — XLA's own fusion
@@ -54,12 +59,29 @@ def set_context(mode: str) -> None:
     _CONTEXT["mode"] = mode
 
 
-def attention_enabled() -> bool:
+def attention_mode() -> str:
+    """Which attention kernels to use at trace time: "off" (pure XLA),
+    "packed" (the lane-packed kernel for C <= 128 only; padded blockwise
+    shapes stay XLA), or "all".
+
+    Env override IDTPU_PALLAS_ATTN: "0" -> off, "packed" -> packed,
+    "1" -> all.  Measured defaults (v5e, full-size models): sampling "all";
+    training "packed" (70.5 ms/step vs 96.9 XLA vs 77.4 all-Pallas at
+    batch 48) — the packed kernel ships a Pallas backward in the same
+    lane-masked layout, which wins where the forward does (the dominant
+    1024-token C=128 attention), while the padded blockwise kernel's
+    XLA-recompute backward still loses to plain XLA for fwd+bwd.
+    """
     v = os.environ.get("IDTPU_PALLAS_ATTN")
     if v is not None:
-        return v == "1"
-    if _CONTEXT["mode"] == "train":
-        return False
+        return {"0": "off", "1": "all", "packed": "packed"}.get(v, "off")
     import jax
 
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return "off"
+    return "packed" if _CONTEXT["mode"] == "train" else "all"
+
+
+def attention_enabled() -> bool:
+    """True when any Pallas attention kernel is in play (see attention_mode)."""
+    return attention_mode() != "off"

@@ -187,12 +187,87 @@ def _packed_fwd(q, k, v, num_heads, scale, interpret):
     return _packed_forward(q, k, v, num_heads, scale, interpret), (q, k, v)
 
 
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, num_heads: int, scale: float):
+    """Backward of `_packed_kernel`, same lane-masked full-width layout,
+    blocked over Q rows (flash-style) so score matrices never exceed
+    (block_q, N) — peak VMEM stays a few MB at N=1024 where the full-matrix
+    variant blew the 16MB scoped limit.
+
+    Per head h (band mask m_h over lanes) and Q-row block:  recompute
+    P_h = softmax(s·Q_h K_h^T) from the residuals (full KV width, so no LSE
+    carry is needed), then
+        dV_h += P_h^T (dO·m_h)         dP_h = (dO·m_h) V^T
+        dS_h = P_h ∘ (dP_h − rowsum(dP_h ∘ P_h)) · s
+        dQ_h = dS_h (K·m_h)            dK_h += dS_h^T (Q·m_h)
+    Masked operands make every product head-exact while staying full lane
+    width — no head-dim padding and no (B,N,h,d) transposed materializations
+    (the same IO argument as the forward; the padded layout inflates HBM
+    traffic 8x at d=16).  dK/dV accumulate in fp32 output blocks that stay
+    VMEM-resident across the Q-block grid axis (index map constant in qi).
+    """
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.bfloat16)    # (Bq, C) this Q-row block
+    do = do_ref[0].astype(jnp.bfloat16)  # (Bq, C)
+    k = k_ref[0].astype(jnp.bfloat16)    # (N, C) full
+    v = v_ref[0].astype(jnp.bfloat16)
+    Bq, C = q.shape
+    d = C // num_heads
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    dq = jnp.zeros((Bq, C), jnp.float32)
+    for h in range(num_heads):
+        mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, C)
+        qh, kh, doh = q * mask, k * mask, do * mask
+        s = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, N)
+        p = jax.nn.softmax(s, axis=-1)
+        p16 = p.astype(jnp.bfloat16)
+        # dV_h += P^T dO_h  (contract the Q-row axes)
+        dv_ref[0] += jax.lax.dot_general(
+            p16, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP_h = dO_h V^T (dO masked to the band, so only V_h lanes contribute)
+        dp = jax.lax.dot_general(
+            doh, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)  # (Bq, N)
+        dq = dq + jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_ref[0] += jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
 def _packed_bwd(num_heads, scale, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: reference_packed_attention(q, k, v, num_heads, scale), q, k, v
-    )
-    return vjp(g)
+    B, N, C = q.shape
+    bq = min(256, N)
+    qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, num_heads=num_heads, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), q.dtype),      # dq per Q block
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),  # dk accumulator
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),  # dv accumulator
+        ],
+        grid=(B, N // bq),
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[qspec, kvspec, kvspec],
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _packed_forward.defvjp(_packed_fwd, _packed_bwd)

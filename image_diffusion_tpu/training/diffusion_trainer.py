@@ -134,8 +134,8 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
         return state, {"unet/loss": loss, "unet/grad": grad_norm}
 
     def train_step(state, x, c, rng):
-        # trace-time context: training defaults to XLA attention (measured
-        # faster fwd+bwd than the Pallas-fwd + recompute-bwd combination)
+        # trace-time context: training defaults to the lane-packed Pallas
+        # attention (fwd + bwd kernels; 70.5 vs 96.9 ms/step pure XLA)
         from ..ops import pallas as pk
 
         pk.set_context("train")

@@ -333,7 +333,8 @@ def make_vae_train_step(
         return new_state, metrics
 
     def train_step(state, x_u8, rng, disc_active: bool):
-        # trace-time context: training defaults to XLA attention
+        # trace-time context: training defaults to "packed" attention
+        # (lane-packed Pallas fwd+bwd for C <= 128; see ops/pallas)
         from ..ops import pallas as pk
 
         pk.set_context("train")

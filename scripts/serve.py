@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Batching HTTP inference server over the compiled sampling pipeline.
+
+A production-serving surface the reference lacks entirely (its only
+inference path is the offline scripts/sample_grid.py figure writer): load
+an inference bundle once, compile ONE fixed-shape sampler, and serve
+concurrent requests by micro-batching them into that compiled program —
+the TPU-native serving recipe (static shapes, one XLA executable, requests
+packed into the batch dimension, padded to size).
+
+    python scripts/serve.py checkpoints/bundle.ckpt --port 8765 \
+        --batch-size 8 --sampler dpm --steps 20
+
+API:
+  GET  /healthz -> {"ok": true, "compiled": true}
+  GET  /info    -> model/classes/sampler metadata
+  POST /sample  -> image/png
+      JSON body: {"class": 0 | "a hot place", "cfg_scale": 3.0, "seed": 1}
+
+Determinism: each request's initial latent derives only from its seed, and
+the default samplers (dpm, ddim with eta=0) are noise-free — so a request
+reproduces bit-exactly regardless of what it was co-batched with.  The
+ancestral ddpm sampler draws per-step batch noise; a request's row then
+depends on its batch slot (documented, matches the reference's batch-seeded
+sampling semantics in modules/diffusion.py:36-47).
+"""
+
+import argparse
+import io
+import json
+import logging
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(levelname)s : %(message)s",
+    datefmt="[%H:%M:%S]",
+)
+log = logging.getLogger("serve")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("model", type=str, help="Path to a Diffusion bundle checkpoint.")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="Compiled batch size; requests are micro-batched up to this.")
+    p.add_argument("--linger-ms", type=float, default=25.0,
+                   help="How long to wait for co-batchable requests after the first.")
+    p.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default="dpm")
+    p.add_argument("--steps", type=int, default=20,
+                   help="Inference steps for ddim/dpm (ddpm always runs the "
+                        "full training schedule).")
+    p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
+    p.add_argument("--use-cpu", action="store_true")
+    return p.parse_args()
+
+
+class Engine:
+    """Owns the pipeline + the single JAX dispatch thread with micro-batching."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from image_diffusion_tpu.ops import pallas as pk
+        from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline, _sample_loop
+
+        self.jax, self.jnp, self.np = jax, jnp, np
+        self._sample_loop = _sample_loop
+        pk.set_context("sample")
+
+        self.args = args
+        self.pipe = DiffusionPipeline.from_checkpoint(args.model)
+        self.classes = self.pipe.classes
+        self.B = args.batch_size
+        self.sampler = args.sampler
+        self.eta = float(args.eta)
+        self.timesteps = None
+        if self.sampler in ("ddim", "dpm"):
+            ts = np.linspace(0, self.pipe.sched.num_steps - 1, args.steps)
+            self.timesteps = jnp.asarray(ts.round().astype(np.int32)[::-1].copy())
+
+        self.base_key = jax.random.key(0)
+        self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
+        self.compiled = False
+        self.stats = {"requests": 0, "batches": 0, "batch_fill": 0}
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # --------------------------------------------------------- jax side
+    def _x_init(self, seeds):
+        """Per-request deterministic initial latents from seeds (B,) int32."""
+        jax, jnp = self.jax, self.jnp
+        shape = self.pipe.latent_shape
+
+        def one(seed):
+            return jax.random.normal(
+                jax.random.fold_in(self.base_key, seed), shape, jnp.float32
+            )
+
+        return jax.vmap(one)(seeds)
+
+    def _run(self, seeds, labels, scales):
+        jnp = self.jnp
+        return self._sample_loop(
+            self.pipe.unet,
+            self.pipe.unet_variables,
+            self.pipe.vae,
+            self.pipe.vae_variables,
+            self.pipe.sched,
+            self._x_init(jnp.asarray(seeds, jnp.int32)),
+            jnp.asarray(labels, jnp.int32),
+            jnp.asarray(scales, jnp.float32),
+            self.jax.random.fold_in(self.base_key, 1),
+            self.pipe.vae_arch.bottleneck == "vq",
+            self.sampler,
+            self.timesteps,
+            self.eta,
+            False,
+        )
+
+    def warmup(self):
+        t0 = time.time()
+        imgs = self._run([0] * self.B, [0] * self.B, [3.0] * self.B)
+        self.np.asarray(imgs)  # block
+        self.compiled = True
+        log.info("compiled batch=%d %s sampler in %.1fs",
+                 self.B, self.sampler, time.time() - t0)
+
+    # --------------------------------------------------------- batching
+    def submit(self, req: dict) -> bytes:
+        """Called from HTTP handler threads; blocks until the image is ready."""
+        reply: "queue.Queue[object]" = queue.Queue(1)
+        self.requests.put((req, reply))
+        result = reply.get()
+        if isinstance(result, Exception):
+            raise result
+        return result
+
+    def _worker(self):
+        np = self.np
+        while True:
+            batch = [self.requests.get()]  # block for the first request
+            deadline = time.time() + self.args.linger_ms / 1e3
+            while len(batch) < self.B:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.requests.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            n = len(batch)
+            pad = self.B - n
+            seeds = [r["seed"] for r, _ in batch] + [0] * pad
+            labels = [r["label"] for r, _ in batch] + [0] * pad
+            scales = [r["cfg_scale"] for r, _ in batch] + [1.0] * pad
+            try:
+                imgs = np.asarray(self._run(seeds, labels, scales))
+                pngs = [self._to_png(imgs[i]) for i in range(n)]
+                for (_, reply), png in zip(batch, pngs):
+                    reply.put(png)
+            except Exception as e:  # surface the error to every waiter
+                for _, reply in batch:
+                    reply.put(e)
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["batch_fill"] += n
+
+    def _to_png(self, img) -> bytes:
+        from PIL import Image
+
+        np = self.np
+        arr = np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def resolve_class(self, c) -> int:
+        if isinstance(c, int):
+            if not 0 <= c < len(self.classes):
+                raise ValueError(f"class index {c} out of range")
+            return c
+        if c in self.classes:
+            return self.classes.index(c)
+        raise ValueError(f"unknown class {c!r}; classes: {self.classes}")
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            log.debug(fmt, *args)
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "compiled": engine.compiled})
+            elif self.path == "/info":
+                self._json(200, {
+                    "classes": engine.classes,
+                    "sampler": engine.sampler,
+                    "steps": int(engine.timesteps.shape[0])
+                    if engine.timesteps is not None else engine.pipe.sched.num_steps,
+                    "batch_size": engine.B,
+                    "image_size": engine.pipe.vae_arch.init_resolution,
+                    "stats": engine.stats,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                return self._json(404, {"error": "not found"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                req = {
+                    "label": engine.resolve_class(payload.get("class", 0)),
+                    "cfg_scale": float(payload.get("cfg_scale", 3.0)),
+                    "seed": int(payload.get("seed", 0)),
+                }
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            try:
+                png = engine.submit(req)
+            except Exception as e:
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return Handler
+
+
+def main():
+    args = parse_args()
+    if args.use_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    engine = Engine(args)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    log.info("serving %s on http://%s:%d (classes: %s)",
+             args.model, args.host, args.port, ", ".join(engine.classes))
+    # compile before accepting traffic marks healthy; the socket is already
+    # bound so clients can poll /healthz for compiled=true
+    threading.Thread(target=engine.warmup, daemon=True).start()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -51,17 +51,25 @@ def test_flash_attention_gradient_matches_reference():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4)
 
 
-def test_train_context_disables_attention_kernel(monkeypatch):
-    """Trainers declare set_context('train'): attention kernel default OFF
-    (measured slower fwd+bwd than pure XLA); env var still overrides."""
+def test_attention_mode_defaults_and_override(monkeypatch):
+    """Contexts pick measured per-mode defaults (CPU backend -> 'off');
+    the IDTPU_PALLAS_ATTN env var overrides everything."""
     from image_diffusion_tpu.ops import pallas as pk
 
     monkeypatch.delenv("IDTPU_PALLAS_ATTN", raising=False)
     pk.set_context("train")
     try:
+        # tests run on CPU: every context default is "off"
+        assert pk.attention_mode() == "off"
         assert pk.attention_enabled() is False
         monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")
+        assert pk.attention_mode() == "all"
         assert pk.attention_enabled() is True
+        monkeypatch.setenv("IDTPU_PALLAS_ATTN", "packed")
+        assert pk.attention_mode() == "packed"
+        assert pk.attention_enabled() is True
+        monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
+        assert pk.attention_mode() == "off"
     finally:
         pk.set_context("sample")
 
@@ -120,3 +128,33 @@ def test_packed_attention_gradients():
     a, b = np.asarray(g_got).ravel(), np.asarray(g_ref).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.999
+
+
+@pytest.mark.parametrize("n,heads,c", [(256, 8, 128), (64, 4, 64)])
+def test_packed_attention_bwd_kernel_per_operand(n, heads, c):
+    """The Pallas backward kernel's dq/dk/dv each match the XLA vjp of the
+    packed reference (distinct q, k, v operands and a non-symmetric loss)."""
+    from image_diffusion_tpu.ops.pallas.attention import (
+        _packed_forward,
+        reference_packed_attention,
+    )
+
+    key = jax.random.key(7)
+    B = 2
+    q = jax.random.normal(key, (B, n, c), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, n, c), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, n, c), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 3), (B, n, c), jnp.float32)
+    scale = 1.0 / np.sqrt(c // heads)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * w)
+
+    ref = jax.jit(jax.grad(loss(
+        lambda q, k, v: reference_packed_attention(q, k, v, heads, scale)), (0, 1, 2)))
+    got = jax.jit(jax.grad(loss(
+        lambda q, k, v: _packed_forward(q, k, v, heads, scale, True)), (0, 1, 2)))
+    for name, a, b in zip("qkv", got(q, k, v), ref(q, k, v)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-12
+        assert np.abs(a - b).max() / denom < 2e-2, f"d{name} mismatch"

@@ -75,11 +75,15 @@ def main():
 
     results = {"batch": args.batch, "backend": jax.default_backend()}
 
-    # train context defaults to XLA attention (measured faster fwd+bwd);
-    # the second variant re-measures the Pallas-fwd path for comparison
+    # three trace-time attention modes (see ops/pallas/__init__.py):
+    #   xla        — pure XLA einsum attention fwd+bwd
+    #   packed     — lane-packed Pallas kernel (C<=128) with the Pallas
+    #                backward in the same masked layout; larger C stays XLA
+    #   all_pallas — packed + padded blockwise flash fwd w/ recompute bwd
     variants = [
-        ("default_xla_attn", {}),
-        ("pallas_attn", {"IDTPU_PALLAS_ATTN": "1"}),
+        ("xla_attn", {"IDTPU_PALLAS_ATTN": "0"}),
+        ("packed_attn", {"IDTPU_PALLAS_ATTN": "packed"}),
+        ("all_pallas_attn", {"IDTPU_PALLAS_ATTN": "1"}),
     ]
     for name, flags in variants:
         step, state = build_step_and_state(flags)
