@@ -241,11 +241,14 @@ class SpatialSelfAttention(nn.Module):
         # the XLA einsum path, so gate on the compute dtype too.  The mode
         # ("off"/"packed"/"all") carries the measured per-context defaults.
         mode = pk.attention_mode() if kv is None and self.dtype == jnp.bfloat16 else "off"
-        use_pallas = mode == "all" or (mode == "packed" and C <= 128)
-        if use_pallas and C <= 128:
-            # lane-packed kernel: no head-dim padding, no head transposes —
-            # this is the dominant 32x32-grid attention (C=128, d=16), which
-            # profiled at ~half the sampler step before packing
+        packed_ok = C <= pk.packed_max_c()
+        use_pallas = mode == "all" or (mode == "packed" and packed_ok)
+        if use_pallas and packed_ok:
+            # lane-packed kernel: no head-dim padding, no head transposes.
+            # Covers the whole channel ladder up to packed_max_c() — the
+            # 1024-token C=128 site runs at ~85% MXU roofline and the short
+            # sequences beat the blockwise kernel's online-softmax overhead
+            # by ~9x (docs/packed_maxc_r2.json)
             attn = pk.packed_attention(q, k, v, num_heads=self.num_heads)
         else:
             # (B, N, H*d) -> (B, heads, N, d); contiguous head split matches

@@ -85,3 +85,23 @@ def attention_mode() -> str:
 def attention_enabled() -> bool:
     """True when any Pallas attention kernel is in play (see attention_mode)."""
     return attention_mode() != "off"
+
+
+def packed_max_c() -> int:
+    """Largest channel count routed to the lane-packed kernel (vs the padded
+    blockwise kernel / XLA einsum).  The packed layout does h*N^2*C MXU work
+    (full lane width per head) but zero pad/copy/transpose traffic; the
+    padded layout does h*N^2*128 MXU work plus d->128 padding IO and two
+    head transposes.  At C=128 packed is strictly better (identical FLOPs,
+    less IO).  Above 128 it trades extra MXU FLOPs for the removed IO — a
+    shape tradeoff settled by measurement (docs/packed_maxc_r2.json, v5e,
+    full-size models): the blockwise kernel's online-softmax loop is ~9x off
+    roofline at the short sequences (N<=256), so packed wins the whole
+    ladder.  Sampling: 1.093s vs 1.307s 50-step grid at max_c=512.
+    Training: 51.0 ms/step vs 70.3 at max_c=256 (53.3 at 512 — the N=16
+    C=512 site's grid overhead outweighs its pad savings under autodiff).
+    Override: IDTPU_PACKED_MAX_C."""
+    v = os.environ.get("IDTPU_PACKED_MAX_C")
+    if v:
+        return int(v)
+    return 256 if _CONTEXT["mode"] == "train" else 512

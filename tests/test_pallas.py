@@ -70,11 +70,27 @@ def test_attention_mode_defaults_and_override(monkeypatch):
         assert pk.attention_enabled() is True
         monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
         assert pk.attention_mode() == "off"
+        # packed-kernel channel ceiling: measured per-context defaults
+        # (train 256, sample 512 — docs/packed_maxc_r2.json), env override
+        monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
+        assert pk.packed_max_c() == 256  # context is still "train" here
+        monkeypatch.setenv("IDTPU_PACKED_MAX_C", "512")
+        assert pk.packed_max_c() == 512
+        monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
+        pk.set_context("sample")
+        assert pk.packed_max_c() == 512
     finally:
         pk.set_context("sample")
 
 
-@pytest.mark.parametrize("n,heads,c", [(1024, 8, 128), (64, 4, 64), (16, 2, 128)])
+@pytest.mark.parametrize(
+    "n,heads,c",
+    [(1024, 8, 128), (64, 4, 64), (16, 2, 128),
+     # the full UNet channel ladder above the lane width (packed_max_c
+     # routing can send these to the packed kernel; masks span 2-4 lane
+     # tiles): 16x16@256, 8x8@384, 4x4@512
+     (256, 8, 256), (64, 8, 384), (16, 8, 512)],
+)
 def test_packed_attention_matches_reference(n, heads, c):
     from image_diffusion_tpu.ops.pallas.attention import (
         _packed_forward,
@@ -130,7 +146,8 @@ def test_packed_attention_gradients():
     assert cos > 0.999
 
 
-@pytest.mark.parametrize("n,heads,c", [(256, 8, 128), (64, 4, 64)])
+@pytest.mark.parametrize("n,heads,c", [(256, 8, 128), (64, 4, 64),
+                                        (256, 8, 256), (64, 8, 384)])
 def test_packed_attention_bwd_kernel_per_operand(n, heads, c):
     """The Pallas backward kernel's dq/dk/dv each match the XLA vjp of the
     packed reference (distinct q, k, v operands and a non-symmetric loss)."""
