@@ -110,37 +110,58 @@ def _bwd(scale, block_kv, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+def _group_width(C: int, d: int) -> int:
+    """Contraction-group width for the packed kernels: one 128-lane tile
+    when heads tile it cleanly (d divides 128 and C is tile-aligned), else
+    the full channel width.  Slicing an aligned lane tile is free on TPU,
+    so grouping divides the masked-matmul MXU work by C/128 at the wide
+    channels — the dominant 1024-token C=256 site drops from 8x to 4x the
+    information-theoretic FLOPs (the 128-lane systolic contraction is the
+    floor).  C=384 (d=48) straddles tiles and keeps full width."""
+    if C > 128 and C % 128 == 0 and 128 % d == 0:
+        return 128
+    return C
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     """All heads of one batch row, heads PACKED in lanes (N, C), C = h*d.
 
-    Per-head scores come from a lane-masked full-width matmul:
-      S_h = (q * mask_h) @ k^T  ==  q_h @ k_h^T
+    Per-head scores come from a lane-masked matmul over the head's
+    contraction group (one aligned 128-lane tile where heads tile cleanly,
+    the full width otherwise — `_group_width`):
+      S_h = (q_g * mask_h) @ k_g^T  ==  q_h @ k_h^T
     because the masked lanes contribute zero to the contraction.  The AV
-    product against (v * mask_h) writes each head's output into its own
-    lane band, so accumulating over heads yields the packed output directly.
-    No head-dim padding (the profiler showed the pad inflating attention IO
-    8x for d=16) and no (B,N,h,d)->(B,h,N,d) transposes.
+    product against (v_g * mask_h) writes each head's output into its own
+    lane band, so accumulating heads within a group yields that group's
+    packed output directly.  No head-dim padding (the profiler showed the
+    pad inflating attention IO 8x for d=16) and no (B,N,h,d)->(B,h,N,d)
+    transposes.
     """
     q = q_ref[0].astype(jnp.float32) * scale  # (N, C)
     k = k_ref[0].astype(jnp.bfloat16)
     v = v_ref[0].astype(jnp.bfloat16)
     N, C = q.shape
     d = C // num_heads
+    gw = _group_width(C, d)
+    hpg = gw // d  # heads per group
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    acc = jnp.zeros((N, C), jnp.float32)
-    for h in range(num_heads):
-        mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, C)
-        qh = (q * mask).astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (N, N)
-        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-        vh = v * mask
-        acc = acc + jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    o_ref[0] = acc.astype(o_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+    for g in range(C // gw):
+        sl = slice(g * gw, (g + 1) * gw)
+        qg, kg, vg = q[:, sl], k[:, sl], v[:, sl]
+        acc = jnp.zeros((N, gw), jnp.float32)
+        for h in range(hpg):
+            mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, gw)
+            qh = (qg * mask).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (N, N)
+            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            vh = vg * mask
+            acc = acc + jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
 def packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
@@ -189,22 +210,23 @@ def _packed_fwd(q, k, v, num_heads, scale, interpret):
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                        *, num_heads: int, scale: float):
-    """Backward of `_packed_kernel`, same lane-masked full-width layout,
-    blocked over Q rows (flash-style) so score matrices never exceed
-    (block_q, N) — peak VMEM stays a few MB at N=1024 where the full-matrix
-    variant blew the 16MB scoped limit.
+    """Backward of `_packed_kernel`, same lane-masked grouped layout
+    (`_group_width`), blocked over Q rows (flash-style) so score matrices
+    never exceed (block_q, N) — peak VMEM stays a few MB at N=1024 where
+    the full-matrix variant blew the 16MB scoped limit.
 
-    Per head h (band mask m_h over lanes) and Q-row block:  recompute
-    P_h = softmax(s·Q_h K_h^T) from the residuals (full KV width, so no LSE
-    carry is needed), then
-        dV_h += P_h^T (dO·m_h)         dP_h = (dO·m_h) V^T
+    Per group g and head h (band mask m_h over the group's lanes), per
+    Q-row block: recompute P_h = softmax(s·Q_h K_h^T) from the residuals
+    (full KV rows, so no LSE carry is needed), then
+        dV_h += P_h^T (dO·m_h)         dP_h = (dO·m_h) V_g^T
         dS_h = P_h ∘ (dP_h − rowsum(dP_h ∘ P_h)) · s
-        dQ_h = dS_h (K·m_h)            dK_h += dS_h^T (Q·m_h)
-    Masked operands make every product head-exact while staying full lane
-    width — no head-dim padding and no (B,N,h,d) transposed materializations
-    (the same IO argument as the forward; the padded layout inflates HBM
-    traffic 8x at d=16).  dK/dV accumulate in fp32 output blocks that stay
-    VMEM-resident across the Q-block grid axis (index map constant in qi).
+        dQ_h = dS_h (K_g·m_h)          dK_h += dS_h^T (Q_g·m_h)
+    Masked operands make every product head-exact while staying lane-tile
+    width — no head-dim padding and no (B,N,h,d) transposed
+    materializations (the same IO argument as the forward; the padded
+    layout inflates HBM traffic 8x at d=16).  dK/dV accumulate in fp32
+    output blocks that stay VMEM-resident across the Q-block grid axis
+    (index map constant in qi).
     """
     qi = pl.program_id(1)
 
@@ -219,34 +241,40 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     v = v_ref[0].astype(jnp.bfloat16)
     Bq, C = q.shape
     d = C // num_heads
+    gw = _group_width(C, d)
+    hpg = gw // d
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    dq = jnp.zeros((Bq, C), jnp.float32)
-    for h in range(num_heads):
-        mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, C)
-        qh, kh, doh = q * mask, k * mask, do * mask
-        s = jax.lax.dot_general(
-            qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, N)
-        p = jax.nn.softmax(s, axis=-1)
-        p16 = p.astype(jnp.bfloat16)
-        # dV_h += P^T dO_h  (contract the Q-row axes)
-        dv_ref[0] += jax.lax.dot_general(
-            p16, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # dP_h = dO_h V^T (dO masked to the band, so only V_h lanes contribute)
-        dp = jax.lax.dot_general(
-            doh, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)  # (Bq, N)
-        dq = dq + jax.lax.dot_general(
-            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dk_ref[0] += jax.lax.dot_general(
-            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+    for g in range(C // gw):
+        sl = slice(g * gw, (g + 1) * gw)
+        qg, kg, vg, dog = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        dqg = jnp.zeros((Bq, gw), jnp.float32)
+        for h in range(hpg):
+            mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, gw)
+            qh, kh, doh = qg * mask, kg * mask, dog * mask
+            s = jax.lax.dot_general(
+                qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # (Bq, N)
+            p = jax.nn.softmax(s, axis=-1)
+            p16 = p.astype(jnp.bfloat16)
+            # dV_h += P^T dO_h  (contract the Q-row axes)
+            dv_ref[0, :, sl] += jax.lax.dot_general(
+                p16, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dP_h = dO_h V_g^T (dO masked to the band, so only V_h lanes
+            # contribute)
+            dp = jax.lax.dot_general(
+                doh, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(jnp.bfloat16)  # (Bq, N)
+            dqg = dqg + jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk_ref[0, :, sl] += jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        dq_ref[0, :, sl] = dqg.astype(dq_ref.dtype)
 
 
 def _packed_bwd(num_heads, scale, interpret, res, g):
