@@ -133,7 +133,11 @@ def main():
     wait(m["unet/loss"])  # queue drains in order: all 20 steps done
     step_dt = (time.time() - t0) / 20
 
-    train_sps = batch / step_dt / n_chips
+    # the train state/batch above are unsharded, so the step is a
+    # single-device program regardless of visible chip count — per-chip
+    # rate is batch/step_dt (dividing by n_chips would underreport 8x on
+    # a multi-chip host)
+    train_sps = batch / step_dt
     est_t4_train_sps = 25.0  # derived estimate, see module docstring
     print(
         json.dumps(

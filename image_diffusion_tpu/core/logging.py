@@ -76,6 +76,11 @@ class BasicLogger:
             self.log_metric(name, val, step)
 
     def log_figure(self, name: str, figure) -> None:
+        if not self._is_main:
+            # single-writer invariant: like metrics/checkpoints, only
+            # process 0 writes figures (concurrent savefig to one shared
+            # path corrupts the file)
+            return
         if self._mlflow is not None:
             self._mlflow.log_figure(figure, name)
         elif self.logs_dir is not None:

@@ -179,7 +179,8 @@ class Codebook(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, z, train: bool = False, defer_ema: bool = False):
+    def __call__(self, z, train: bool = False, defer_ema: bool = False,
+                 valid_mask=None):
         B, H, W, C = z.shape
         bound = 1.0 / self.size
 
@@ -246,7 +247,16 @@ class Codebook(nn.Module):
         quant_st = flat + jax.lax.stop_gradient(quant - flat)
         quant_out = quant_st.reshape(B, H, W, C).astype(self.dtype)
 
-        avg_probs = jnp.mean(one_hot, axis=0)
+        if valid_mask is None:
+            avg_probs = jnp.mean(one_hot, axis=0)
+        else:
+            # padded dev-eval batches: the usage histogram counts only the
+            # valid samples' tokens, so the logged perplexity covers the
+            # dev set exactly once (the pad rows are wrap-around duplicates)
+            tok = jnp.repeat(valid_mask.astype(jnp.float32), H * W)[:, None]
+            avg_probs = jnp.sum(one_hot * tok, axis=0) / jnp.maximum(
+                jnp.sum(tok), 1.0
+            )
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-6)))
 
         return quant_out, quant_loss, perplexity
@@ -314,12 +324,13 @@ class VAE(nn.Module):
             )
 
     def __call__(self, x, sample: bool | None = None, train: bool = False,
-                 defer_ema: bool = False, noise=None):
+                 defer_ema: bool = False, noise=None, valid_mask=None):
         """Full roundtrip -> (x_hat, prior_loss, perplexity)."""
         if sample is None:
             sample = self.bottleneck == "kl"
         z, prior_loss, perplexity = self.encode(
-            x, sample=sample, train=train, defer_ema=defer_ema, noise=noise
+            x, sample=sample, train=train, defer_ema=defer_ema, noise=noise,
+            valid_mask=valid_mask,
         )
         if self.bottleneck == "kl" and not sample:
             # deterministic roundtrip: decode the posterior mean (the raw
@@ -329,7 +340,7 @@ class VAE(nn.Module):
         return x_hat, prior_loss, perplexity
 
     def encode(self, x, sample: bool = False, train: bool = False,
-               defer_ema: bool = False, noise=None):
+               defer_ema: bool = False, noise=None, valid_mask=None):
         """-> (z, prior_loss, perplexity).
 
         KL with sample=False returns the raw (mean || log_var) 2*z_dim map —
@@ -345,7 +356,9 @@ class VAE(nn.Module):
         z = self.encoder(x)
 
         if self.bottleneck == "vq":
-            return self.codebook(z, train=train, defer_ema=defer_ema)
+            return self.codebook(
+                z, train=train, defer_ema=defer_ema, valid_mask=valid_mask
+            )
 
         z32 = z.astype(jnp.float32)
         mean, log_var = jnp.split(z32, 2, axis=-1)

@@ -280,7 +280,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 def _packed_bwd(num_heads, scale, interpret, res, g):
     q, k, v = res
     B, N, C = q.shape
-    bq = min(256, N)
+    # largest Q-row block <= 256 that DIVIDES N: grid=(B, N // bq) would
+    # silently drop the tail rows otherwise (wrong gradients, not an error)
+    bq = next(b for b in (256, 128, 64, 32, 16, 8, 4, 2, 1) if N % b == 0)
     qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(

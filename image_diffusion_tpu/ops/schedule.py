@@ -76,6 +76,15 @@ def make_schedule(
     )
 
 
+def make_timesteps(num_steps: int, n: int) -> jax.Array:
+    """Descending evenly-spaced subsequence of the training timesteps for
+    ddim/dpm subsequence sampling.  The single source of truth for the
+    spacing (pipeline and serving must agree or the same sampler/steps pair
+    produces different images across surfaces)."""
+    ts = np.linspace(0, num_steps - 1, n).round().astype(np.int32)
+    return jnp.asarray(ts[::-1].copy())
+
+
 def _bcast(coef: jax.Array, ndim: int) -> jax.Array:
     """Reshape a (B,)-gathered coefficient for broadcasting over (B, ...)."""
     return coef.reshape(coef.shape + (1,) * (ndim - coef.ndim))

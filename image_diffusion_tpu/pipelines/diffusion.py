@@ -209,11 +209,7 @@ class DiffusionPipeline:
         timesteps = None
         if sampler in ("ddim", "dpm"):
             n = num_inference_steps or (20 if sampler == "dpm" else 50)
-            # evenly spaced descending subsequence of the training steps
-            import numpy as np
-
-            ts = np.linspace(0, self.sched.num_steps - 1, n).round().astype(np.int32)
-            timesteps = jnp.asarray(ts[::-1].copy())
+            timesteps = S.make_timesteps(self.sched.num_steps, n)
 
         unet_vars, vae_vars = self.unet_variables, self.vae_variables
         n_pad = 0
@@ -261,7 +257,10 @@ class DiffusionPipeline:
             if progress:
                 imgs.block_until_ready()
         finally:
-            if _PROGRESS_BAR is not None:
+            # only the call that created the bar may close it: a concurrent
+            # progress=False sample() must not tear down another thread's
+            # live bar
+            if progress and _PROGRESS_BAR is not None:
                 _PROGRESS_BAR.close()
                 _PROGRESS_BAR = None
         return imgs[:B] if n_pad else imgs

@@ -351,12 +351,17 @@ def make_eval_step(vae_model, disc_model, cfg: VAEConfig, percept_fn):
     is_vq = cfg.arch.bottleneck == "vq"
 
     @jax.jit
-    def eval_step(vae_params, codebook, x_u8, rng):
+    def eval_step(vae_params, codebook, x_u8, rng, n_valid):
         x = normalize_batch(x_u8, None)
         variables = {"params": vae_params}
         if is_vq:
             variables["codebook"] = codebook
-            x_hat, _, perp = vae_model.apply(variables, x, train=False)
+            # mask pad rows out of the perplexity histogram so the logged
+            # dev/perplexity covers each dev sample exactly once
+            mask = jnp.arange(x.shape[0]) < n_valid
+            x_hat, _, perp = vae_model.apply(
+                variables, x, train=False, valid_mask=mask
+            )
         else:
             x_hat, _, perp = vae_model.apply(
                 variables, x, sample=True, rngs={"sample": rng}
@@ -547,7 +552,9 @@ class VAETrainer:
         from ..core.plotting import plot_reconstructions
 
         x = jnp.asarray(self.plot_images)
-        x_hat, _, _, _ = self.eval_step(self.state.vae_params, self.state.codebook, x, key)
+        x_hat, _, _, _ = self.eval_step(
+            self.state.vae_params, self.state.codebook, x, key, x.shape[0]
+        )
         fig = plot_reconstructions(
             np.asarray(normalize_batch(x, None)), np.asarray(x_hat)
         )
@@ -568,7 +575,8 @@ class VAETrainer:
             # fresh reparam noise per dev batch (reference draws new
             # torch randomness each forward, vae_trainer.py:347)
             x_hat, rl, pl, perp = self.eval_step(
-                self.state.vae_params, self.state.codebook, x, jax.random.fold_in(key, i)
+                self.state.vae_params, self.state.codebook, x,
+                jax.random.fold_in(key, i), n_valid,
             )
             recon_dev += float(jnp.sum(rl[:n_valid]))
             percept_dev += float(jnp.sum(pl[:n_valid]))

@@ -31,7 +31,9 @@ def parse_args():
                    help="ddpm: reference-parity 1000-step ancestral sampler; "
                         "ddim: fast subsequence sampling (see --steps/--eta); "
                         "dpm: DPM-Solver++(2M), high quality in ~20 steps.")
-    p.add_argument("--steps", type=int, default=50, help="DDIM inference steps.")
+    p.add_argument("--steps", type=int, default=None,
+                   help="Inference steps for ddim/dpm (default: 50 for ddim, "
+                        "20 for dpm; ddpm always runs the full schedule).")
     p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="Shard the grid over N chips (default: all available).")

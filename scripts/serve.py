@@ -87,8 +87,11 @@ class Engine:
         self.eta = float(args.eta)
         self.timesteps = None
         if self.sampler in ("ddim", "dpm"):
-            ts = np.linspace(0, self.pipe.sched.num_steps - 1, args.steps)
-            self.timesteps = jnp.asarray(ts.round().astype(np.int32)[::-1].copy())
+            from image_diffusion_tpu.ops import schedule as S
+
+            # same subsequence the pipeline builds: a served (sampler,
+            # steps) pair must reproduce sample_grid/eval_fid output
+            self.timesteps = S.make_timesteps(self.pipe.sched.num_steps, args.steps)
 
         self.base_key = jax.random.key(0)
         self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
@@ -187,7 +190,7 @@ class Engine:
         return buf.getvalue()
 
     def resolve_class(self, c) -> int:
-        if isinstance(c, int):
+        if isinstance(c, int) and not isinstance(c, bool):
             if not 0 <= c < len(self.classes):
                 raise ValueError(f"class index {c} out of range")
             return c

@@ -134,11 +134,16 @@ log_interval: 2
     assert "dev/FID" in content and "dev/recon_loss" in content
 
     # ---- 2b. missing LPIPS without acknowledgment must fail loudly ----
+    env_2b = {**os.environ, "JAX_PLATFORMS": "cpu", "IDTPU_NO_TQDM": "1"}
+    # same hygiene as run_cli: no TPU dial-out from the subprocess, no
+    # inherited 8-virtual-device XLA flag
+    env_2b.pop("PALLAS_AXON_POOL_IPS", None)
+    env_2b.pop("XLA_FLAGS", None)
     env_proc = subprocess.run(
         [sys.executable, f"{SCRIPTS}/train_vae.py", "--config", vae_yaml,
          "--no-mlflow", "--use-cpu"],
         capture_output=True, text=True, timeout=120,
-        env={**os.environ, "JAX_PLATFORMS": "cpu", "IDTPU_NO_TQDM": "1"},
+        env=env_2b,
         cwd=REPO,
     )
     assert env_proc.returncode != 0

@@ -82,6 +82,31 @@ def test_vq_vae_param_count_and_roundtrip(vq_cfg):
     assert x_hat2.shape == (2, 128, 128, 3)
 
 
+def test_vq_perplexity_valid_mask():
+    """Padded dev-eval batches: masked perplexity must equal the perplexity
+    of the valid rows alone (pad rows excluded from the usage histogram —
+    trainers weight dev/perplexity by n_valid, so pad contamination would
+    bias the logged metric)."""
+    from image_diffusion_tpu.models import Codebook
+
+    cb_mod = Codebook(size=16, dim=4, beta=0.25, gamma=0.99, dtype=jnp.float32)
+    key = jax.random.key(3)
+    z_valid = jax.random.normal(key, (2, 2, 2, 4), jnp.float32) * 5.0
+    # pad rows chosen to hit DIFFERENT codes so unmasked perp would differ
+    z_pad = -z_valid[:1] * 3.0
+    z = jnp.concatenate([z_valid, z_pad])
+    variables = jax.jit(lambda: cb_mod.init({"params": jax.random.key(0)}, z))()
+
+    mask = jnp.asarray([True, True, False])
+    _, _, perp_masked = cb_mod.apply(variables, z, train=False, valid_mask=mask)
+    _, _, perp_valid_only = cb_mod.apply(variables, z_valid, train=False)
+    _, _, perp_unmasked = cb_mod.apply(variables, z, train=False)
+    np.testing.assert_allclose(
+        float(perp_masked), float(perp_valid_only), rtol=1e-6
+    )
+    assert not np.isclose(float(perp_unmasked), float(perp_valid_only))
+
+
 def test_vq_codebook_ema_math():
     """One EMA step checked against the reference closed form
     (reference modules/components.py:284-298) on well-separated synthetic

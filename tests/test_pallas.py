@@ -147,7 +147,11 @@ def test_packed_attention_gradients():
 
 
 @pytest.mark.parametrize("n,heads,c", [(256, 8, 128), (64, 4, 64),
-                                        (256, 8, 256), (64, 8, 384)])
+                                        (256, 8, 256), (64, 8, 384),
+                                        # N=96 does not divide the 256-row
+                                        # Q block: the bwd must fall back to
+                                        # a dividing block, not drop rows
+                                        (96, 4, 64)])
 def test_packed_attention_bwd_kernel_per_operand(n, heads, c):
     """The Pallas backward kernel's dq/dk/dv each match the XLA vjp of the
     packed reference (distinct q, k, v operands and a non-symmetric loss)."""

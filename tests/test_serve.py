@@ -164,6 +164,10 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/sample", {"class": 99})
     assert e.value.code == 400
+    # JSON booleans are ints in Python; they must not resolve as indices
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/sample", {"class": True})
+    assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/sample", {"class": "nope"})
     assert e.value.code == 400
