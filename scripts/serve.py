@@ -254,6 +254,13 @@ def make_handler(engine: Engine):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+    # a burst of concurrent clients larger than the default backlog (5)
+    # gets connection-reset at accept(); size for bursty micro-batching
+    request_queue_size = 128
+
+
 def main():
     args = parse_args()
     if args.use_cpu:
@@ -264,7 +271,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     engine = Engine(args)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    server = _Server((args.host, args.port), make_handler(engine))
     log.info("serving %s on http://%s:%d (classes: %s)",
              args.model, args.host, args.port, ", ".join(engine.classes))
     # compile before accepting traffic marks healthy; the socket is already
