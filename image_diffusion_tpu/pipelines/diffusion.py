@@ -166,6 +166,48 @@ class DiffusionPipeline:
         r = self.vae_arch.init_resolution // (2 ** (len(self.vae_arch.channels) - 1))
         return (r, r, self.unet_arch.z_dim)
 
+    def sample_batch(
+        self,
+        labels,
+        cfg_scales,
+        x_init,
+        sampler: str = "dpm",
+        num_inference_steps: int | None = None,
+        eta: float = 0.0,
+        key=None,
+    ) -> jax.Array:
+        """Sample one explicit batch: per-row class labels, guidance scales,
+        and initial latents -> (B, H, W, 3) images in [-1, 1].
+
+        The programmatic per-request API (serving uses it: each row's label/
+        scale/latent is independent, unlike the classes-x-scales grid that
+        `sample` builds).  `x_init` rows fully determine the noise-free
+        samplers' outputs; the ancestral ddpm sampler additionally draws
+        per-step batch noise from `key`."""
+        timesteps = None
+        if sampler in ("ddim", "dpm"):
+            n = num_inference_steps or (20 if sampler == "dpm" else 50)
+            timesteps = S.make_timesteps(self.sched.num_steps, n)
+        from ..ops import pallas as pk
+
+        pk.set_context("sample")
+        return _sample_loop(
+            self.unet,
+            self.unet_variables,
+            self.vae,
+            self.vae_variables,
+            self.sched,
+            jnp.asarray(x_init, jnp.float32),
+            jnp.asarray(labels, jnp.int32),
+            jnp.asarray(cfg_scales, jnp.float32),
+            jax.random.key(0) if key is None else key,
+            self.vae_arch.bottleneck == "vq",
+            sampler,
+            timesteps,
+            eta,
+            False,
+        )
+
     def sample(
         self,
         cfg_scales: Sequence[float] | float,

@@ -69,29 +69,18 @@ class Engine:
 
     def __init__(self, args):
         import jax
-        import jax.numpy as jnp
         import numpy as np
 
-        from image_diffusion_tpu.ops import pallas as pk
-        from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline, _sample_loop
+        from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline
 
-        self.jax, self.jnp, self.np = jax, jnp, np
-        self._sample_loop = _sample_loop
-        pk.set_context("sample")
-
+        # jax/np are imported lazily so main() can force the CPU platform
+        # before anything touches a backend
+        self.jax, self.np = jax, np
         self.args = args
         self.pipe = DiffusionPipeline.from_checkpoint(args.model)
         self.classes = self.pipe.classes
         self.B = args.batch_size
         self.sampler = args.sampler
-        self.eta = float(args.eta)
-        self.timesteps = None
-        if self.sampler in ("ddim", "dpm"):
-            from image_diffusion_tpu.ops import schedule as S
-
-            # same subsequence the pipeline builds: a served (sampler,
-            # steps) pair must reproduce sample_grid/eval_fid output
-            self.timesteps = S.make_timesteps(self.pipe.sched.num_steps, args.steps)
 
         self.base_key = jax.random.key(0)
         self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
@@ -103,34 +92,31 @@ class Engine:
     # --------------------------------------------------------- jax side
     def _x_init(self, seeds):
         """Per-request deterministic initial latents from seeds (B,) int32."""
-        jax, jnp = self.jax, self.jnp
+        jax = self.jax
         shape = self.pipe.latent_shape
 
         def one(seed):
             return jax.random.normal(
-                jax.random.fold_in(self.base_key, seed), shape, jnp.float32
+                jax.random.fold_in(self.base_key, seed), shape, "float32"
             )
 
-        return jax.vmap(one)(seeds)
+        return jax.vmap(one)(jax.numpy.asarray(seeds, "int32"))
 
     def _run(self, seeds, labels, scales):
-        jnp = self.jnp
-        return self._sample_loop(
-            self.pipe.unet,
-            self.pipe.unet_variables,
-            self.pipe.vae,
-            self.pipe.vae_variables,
-            self.pipe.sched,
-            self._x_init(jnp.asarray(seeds, jnp.int32)),
-            jnp.asarray(labels, jnp.int32),
-            jnp.asarray(scales, jnp.float32),
-            self.jax.random.fold_in(self.base_key, 1),
-            self.pipe.vae_arch.bottleneck == "vq",
-            self.sampler,
-            self.timesteps,
-            self.eta,
-            False,
+        return self.pipe.sample_batch(
+            labels,
+            scales,
+            self._x_init(seeds),
+            sampler=self.sampler,
+            num_inference_steps=self.args.steps,
+            eta=float(self.args.eta),
+            key=self.jax.random.fold_in(self.base_key, 1),
         )
+
+    @property
+    def steps(self) -> int:
+        return (self.pipe.sched.num_steps if self.sampler == "ddpm"
+                else self.args.steps)
 
     def warmup(self):
         t0 = time.time()
@@ -183,10 +169,10 @@ class Engine:
     def _to_png(self, img) -> bytes:
         from PIL import Image
 
-        np = self.np
-        arr = np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        from image_diffusion_tpu.core.plotting import to_uint8
+
         buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="PNG")
+        Image.fromarray(to_uint8(self.np.asarray(img))).save(buf, format="PNG")
         return buf.getvalue()
 
     def resolve_class(self, c) -> int:
@@ -219,8 +205,7 @@ def make_handler(engine: Engine):
                 self._json(200, {
                     "classes": engine.classes,
                     "sampler": engine.sampler,
-                    "steps": int(engine.timesteps.shape[0])
-                    if engine.timesteps is not None else engine.pipe.sched.num_steps,
+                    "steps": engine.steps,
                     "batch_size": engine.B,
                     "image_size": engine.pipe.vae_arch.init_resolution,
                     "stats": engine.stats,

@@ -85,9 +85,6 @@ else:
     print("RESULT", json.dumps({"s_per_step": dt, "compile_s": compile_s}))
 """
 
-import json as _json
-
-
 def run(mode: str, attn: str, max_c: int) -> dict:
     env = dict(os.environ)
     env["IDTPU_PALLAS_ATTN"] = attn
