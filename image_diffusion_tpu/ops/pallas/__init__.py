@@ -45,18 +45,29 @@ __all__ = [
     "reference_attention",
     "attention_enabled",
     "set_context",
+    "set_multichip_train",
 ]
 
-_CONTEXT = {"mode": "sample"}  # "sample" | "train"
+_CONTEXT = {"mode": "sample", "multichip_train": False}
 
 
 def set_context(mode: str) -> None:
-    """Declare the tracing context ("train" disables the attention kernel
-    by default — measured slower end-to-end for fwd+bwd).  Affects traces
-    that happen AFTER the call; jit caches built earlier keep their path."""
+    """Declare the tracing context (contexts pick measured kernel defaults).
+    Affects traces that happen AFTER the call; jit caches built earlier keep
+    their path."""
     if mode not in ("sample", "train"):
         raise ValueError(f"context must be 'sample' or 'train', got {mode!r}")
     _CONTEXT["mode"] = mode
+
+
+def set_multichip_train(flag: bool) -> None:
+    """Trainers running data-parallel over a >1-device mesh declare it here:
+    their GSPMD-auto-sharded train step cannot partition Mosaic custom calls
+    (pallas_call requires Manual mesh axes), so the attention kernels default
+    OFF for multichip training until the step is shard_map'd (the sampling
+    path already is — pipelines/diffusion.py).  IDTPU_PALLAS_ATTN still
+    overrides for experimentation."""
+    _CONTEXT["multichip_train"] = bool(flag)
 
 
 def attention_mode() -> str:
@@ -79,7 +90,10 @@ def attention_mode() -> str:
 
     if jax.default_backend() != "tpu":
         return "off"
-    return "packed" if _CONTEXT["mode"] == "train" else "all"
+    if _CONTEXT["mode"] == "train":
+        # GSPMD cannot auto-partition Mosaic calls (see set_multichip_train)
+        return "off" if _CONTEXT["multichip_train"] else "packed"
+    return "all"
 
 
 def attention_enabled() -> bool:

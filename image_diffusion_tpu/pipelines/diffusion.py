@@ -49,7 +49,8 @@ def _tick_progress():
 
 @partial(
     jax.jit,
-    static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta", "progress"),
+    static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta",
+                     "progress", "noise_batch", "data_axis"),
 )
 def _sample_loop(
     unet_model,
@@ -66,9 +67,25 @@ def _sample_loop(
     timesteps: jax.Array | None = None,  # descending subsequence for ddim
     eta: float = 0.0,
     progress: bool = False,
+    noise_batch: int | None = None,
+    data_axis: str | None = None,
 ) -> jax.Array:
     B = x_init.shape[0]
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
+
+    def step_noise(t, shape):
+        """Per-step gaussian noise.  Under shard_map (data_axis set) each
+        shard draws the GLOBAL (noise_batch, ...) counter block and slices
+        its own rows, so multi-chip sampling is bit-identical to the
+        single-device run (threefry bits depend only on key + flat
+        position)."""
+        if noise_batch is None or noise_batch == shape[0]:
+            return jax.random.normal(jax.random.fold_in(key, t), shape, jnp.float32)
+        zfull = jax.random.normal(
+            jax.random.fold_in(key, t), (noise_batch,) + shape[1:], jnp.float32
+        )
+        offset = jax.lax.axis_index(data_axis) * shape[0]
+        return jax.lax.dynamic_slice_in_dim(zfull, offset, shape[0], axis=0)
 
     # 2x-batched CFG: [conditional | unconditional]
     ctx = jnp.concatenate([class_labels, jnp.zeros_like(class_labels)])
@@ -86,7 +103,7 @@ def _sample_loop(
     if sampler == "ddpm":
         def step(xt, t):
             eps_hat = eps_fn(xt, t)
-            z = jax.random.normal(jax.random.fold_in(key, t), xt.shape, jnp.float32)
+            z = step_noise(t, xt.shape)
             x_prev, _ = S.ddpm_step(sched, xt, eps_hat, jnp.full((B,), t), z)
             return x_prev, None
 
@@ -99,7 +116,7 @@ def _sample_loop(
         def step(xt, t_pair):
             t, t_prev = t_pair
             eps_hat = eps_fn(xt, t)
-            z = jax.random.normal(jax.random.fold_in(key, t), xt.shape, jnp.float32)
+            z = step_noise(t, xt.shape)
             x_prev, _ = S.ddim_step(
                 sched, xt, eps_hat, jnp.full((B,), t), jnp.full((B,), t_prev), z, eta
             )
@@ -255,11 +272,13 @@ class DiffusionPipeline:
 
         unet_vars, vae_vars = self.unet_variables, self.vae_variables
         n_pad = 0
+        B_pad = B
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicate
 
             d = mesh.shape["data"]
             n_pad = (-B) % d
+            B_pad = B + n_pad
             if n_pad:
                 pad = lambda a: jnp.concatenate([a, a[:n_pad]])
                 x_init, labels, scales = pad(x_init), pad(labels), pad(scales)
@@ -280,22 +299,54 @@ class DiffusionPipeline:
             n_steps = self.sched.num_steps if sampler == "ddpm" else len(timesteps)
             _PROGRESS_BAR = tqdm(total=n_steps, desc="sampling", dynamic_ncols=True)
         try:
-            imgs = _sample_loop(
-                self.unet,
-                unet_vars,
-                self.vae,
-                vae_vars,
-                self.sched,
-                x_init,
-                labels,
-                scales,
-                jax.random.fold_in(key, 1),
-                self.vae_arch.bottleneck == "vq",
-                sampler,
-                timesteps,
-                eta,
-                progress,
-            )
+            key1 = jax.random.fold_in(key, 1)
+            quantize = self.vae_arch.bottleneck == "vq"
+            if mesh is not None:
+                # Pallas kernels require Manual mesh axes (shard_map), not
+                # GSPMD auto-partitioning of the Mosaic custom calls — so the
+                # multi-chip path runs the whole compiled sampler per-shard
+                # (it is embarrassingly parallel over the image batch, no
+                # collectives).  Per-step ddpm/ddim noise is drawn in GLOBAL
+                # batch shape and row-sliced per shard (`step_noise`), so the
+                # sharded run is bit-identical to the single-device run.
+                from jax.sharding import PartitionSpec as P
+
+                try:
+                    from jax import shard_map
+                except ImportError:  # pragma: no cover - older jax
+                    from jax.experimental.shard_map import shard_map
+
+                def local_fn(uv, vv, x, lbl, s):
+                    return _sample_loop(
+                        self.unet, uv, self.vae, vv, self.sched,
+                        x, lbl, s, key1, quantize, sampler, timesteps, eta,
+                        progress, noise_batch=B_pad, data_axis="data",
+                    )
+
+                imgs = jax.jit(
+                    shard_map(
+                        local_fn, mesh=mesh,
+                        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+                        out_specs=P("data"), check_vma=False,
+                    )
+                )(unet_vars, vae_vars, x_init, labels, scales)
+            else:
+                imgs = _sample_loop(
+                    self.unet,
+                    unet_vars,
+                    self.vae,
+                    vae_vars,
+                    self.sched,
+                    x_init,
+                    labels,
+                    scales,
+                    key1,
+                    quantize,
+                    sampler,
+                    timesteps,
+                    eta,
+                    progress,
+                )
             if progress:
                 imgs.block_until_ready()
         finally:

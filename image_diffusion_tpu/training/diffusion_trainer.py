@@ -170,6 +170,10 @@ class DiffusionTrainer:
         self.run_name = run_name
         self.param_sharding = param_sharding
 
+        from ..ops import pallas as pk
+
+        pk.set_multichip_train(mesh is not None and mesh.size > 1)
+
         self.model = build_unet(config.arch, dtype=config.train.compute_dtype)
         self.sched = S.make_schedule(
             config.schedule.num_steps,

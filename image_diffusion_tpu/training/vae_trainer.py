@@ -403,6 +403,10 @@ class VAETrainer:
         self.run_name = run_name
         self.fid_fn = fid_fn
 
+        from ..ops import pallas as pk
+
+        pk.set_multichip_train(mesh is not None and mesh.size > 1)
+
         dtype = config.train.compute_dtype
         self.vae = build_vae(config.arch, dtype=dtype)
         self.disc = Discriminator(channels=config.train.disc_channels, dtype=dtype)

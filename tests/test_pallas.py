@@ -79,7 +79,19 @@ def test_attention_mode_defaults_and_override(monkeypatch):
         monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
         pk.set_context("sample")
         assert pk.packed_max_c() == 512
+
+        # multichip training: kernels default OFF (GSPMD cannot partition
+        # Mosaic calls; sampling is shard_map'd, the train step is not yet)
+        monkeypatch.delenv("IDTPU_PALLAS_ATTN", raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        pk.set_context("train")
+        assert pk.attention_mode() == "packed"
+        pk.set_multichip_train(True)
+        assert pk.attention_mode() == "off"
+        monkeypatch.setenv("IDTPU_PALLAS_ATTN", "packed")  # env still wins
+        assert pk.attention_mode() == "packed"
     finally:
+        pk.set_multichip_train(False)
         pk.set_context("sample")
 
 
