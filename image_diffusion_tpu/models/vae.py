@@ -381,11 +381,15 @@ class VAE(nn.Module):
         return self.decoder(z.astype(self.dtype))
 
     @staticmethod
-    def reparametrize(latents, rng):
+    def reparametrize(latents, rng, noise=None):
         """Sample z from a stored (mean || log_var) map — the per-step
         reparametrization the diffusion trainer applies to pre-extracted KL
-        latents (reference trainers/diffusion_trainer.py:146-152)."""
+        latents (reference trainers/diffusion_trainer.py:146-152).  `noise`
+        optionally supplies the gaussian draw (the sharded train step draws
+        it in global batch shape for shard-layout-independent randomness)."""
         mean, log_var = jnp.split(latents.astype(jnp.float32), 2, axis=-1)
         log_var = jnp.clip(log_var, -30.0, 20.0)
         std = jnp.exp(0.5 * log_var)
-        return mean + jax.random.normal(rng, mean.shape, jnp.float32) * std
+        if noise is None:
+            noise = jax.random.normal(rng, mean.shape, jnp.float32)
+        return mean + noise * std

@@ -70,7 +70,8 @@ class EMATrainState(train_state.TrainState):
 
 def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
                     reparametrize: bool, ema_decay: float | None = None,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1,
+                    data_axis: str | None = None, global_batch: int | None = None):
     """Build the jitted train step (donates the state buffer).
 
     grad_accum > 1 splits the batch into micro-batches scanned inside the
@@ -78,25 +79,50 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
     drawn ONCE at full-batch shape before the split, and the MSE-mean
     gradient is linear, so the accumulated update is bit-equivalent (up to
     fp reassociation) to the single-shot step at the same batch size.
+
+    data_axis/global_batch: set when the step body runs per-shard under
+    shard_map (the Manual-axes layout the Pallas kernels require — GSPMD
+    cannot auto-partition Mosaic custom calls).  All per-sample randomness
+    (reparam noise, t, diffusion noise, cond-drop) is then drawn in GLOBAL
+    batch shape and row-sliced by axis_index, and gradients/metrics are
+    pmean'd over the axis — the sharded step matches the single-device step
+    up to fp reassociation.
     """
 
-    @partial(jax.jit, donate_argnums=0)
-    def _train_step(state: train_state.TrainState, x, c, rng):
+    def _body(state: train_state.TrainState, x, c, rng):
         rng = jax.random.fold_in(rng, state.step)
         k_rep, k_t, k_noise, k_drop = jax.random.split(rng, 4)
+
+        B = x.shape[0]
+
+        def draw(fn, k, shape):
+            """Shard-layout-independent randomness (see docstring)."""
+            if data_axis is None:
+                return fn(k, shape)
+            full = fn(k, (global_batch,) + shape[1:])
+            off = jax.lax.axis_index(data_axis) * shape[0]
+            return jax.lax.dynamic_slice_in_dim(full, off, shape[0], axis=0)
 
         x = x.astype(jnp.float32)
         if reparametrize:
             # stored KL latents are (mean || log_var): fresh z every step
             # (reference trainers/diffusion_trainer.py:146-152)
-            x = VAE.reparametrize(x, k_rep)
+            z_shape = x.shape[:-1] + (x.shape[-1] // 2,)
+            z_noise = draw(
+                lambda k, s: jax.random.normal(k, s, jnp.float32), k_rep, z_shape
+            )
+            x = VAE.reparametrize(x, k_rep, noise=z_noise)
         c = c.astype(jnp.int32)
 
-        B = x.shape[0]
-        t = jax.random.randint(k_t, (B,), 0, sched.num_steps)
-        noise = jax.random.normal(k_noise, x.shape, jnp.float32)
+        t = draw(
+            lambda k, s: jax.random.randint(k, s, 0, sched.num_steps), k_t, (B,)
+        )
+        noise = draw(
+            lambda k, s: jax.random.normal(k, s, jnp.float32), k_noise, x.shape
+        )
         x_noise = S.q_sample(sched, x, noise, t)
-        mask = (jax.random.uniform(k_drop, (B,)) > cond_drop_prob)[:, None].astype(jnp.float32)
+        drop = draw(jax.random.uniform, k_drop, (B,))
+        mask = (drop > cond_drop_prob)[:, None].astype(jnp.float32)
 
         def loss_fn(params, x_noise, t, c, mask, noise):
             eps_hat = unet_model.apply({"params": params}, x_noise, t, c, mask)
@@ -121,6 +147,11 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
             loss = loss / a
             grads = jax.tree.map(lambda g: g / a, grads)
 
+        if data_axis is not None:
+            # equal-sized shards: mean-of-means == global mean
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
+
         grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         if ema_decay:
@@ -133,14 +164,19 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
             )
         return state, {"unet/loss": loss, "unet/grad": grad_norm}
 
+    _train_step = partial(jax.jit, donate_argnums=0)(_body)
+
     def train_step(state, x, c, rng):
         # trace-time context: training defaults to the lane-packed Pallas
-        # attention (fwd + bwd kernels; 70.5 vs 96.9 ms/step pure XLA)
+        # attention (fwd + bwd kernels; 42.9 vs 96.9 ms/step pure XLA)
         from ..ops import pallas as pk
 
         pk.set_context("train")
         return _train_step(state, x, c, rng)
 
+    if data_axis is not None:
+        # shard_map caller jits the composition itself; expose the raw body
+        train_step.body = _body
     return train_step
 
 
@@ -247,14 +283,52 @@ class DiffusionTrainer:
             self._preview_pipe = None
 
         config.train.validate_accum()
-        self.train_step = make_train_step(
-            self.model,
-            self.sched,
-            config.train.cond_drop_prob,
+        step_kwargs = dict(
+            cond_drop_prob=config.train.cond_drop_prob,
             reparametrize=(config.train.ae_type == "kl"),
             ema_decay=config.train.ema_decay,
             grad_accum=config.train.grad_accum,
         )
+        dp_shard_map = (
+            mesh is not None and mesh.size > 1 and param_sharding != "fsdp"
+        )
+        if dp_shard_map:
+            # Manual-axes data parallelism: the step body runs per-shard
+            # under shard_map (pmean'd grads/metrics, global-shape RNG
+            # row-sliced per shard), which is the layout the Pallas kernels
+            # require — so multichip DP training KEEPS the measured-default
+            # kernels.  FSDP stays on GSPMD auto-sharding (kernels off).
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            body = make_train_step(
+                self.model, self.sched, data_axis="data",
+                global_batch=config.train.batch_size, **step_kwargs,
+            ).body
+            jitted = jax.jit(
+                shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnums=0,
+            )
+
+            def train_step(state, x, c, rng):
+                from ..ops import pallas as pk
+
+                pk.set_context("train")
+                return jitted(state, x, c, rng)
+
+            self.train_step = train_step
+            pk.set_multichip_train(False)  # kernels are shard_map-safe here
+        else:
+            self.train_step = make_train_step(self.model, self.sched, **step_kwargs)
 
     def _shard_state(self, state):
         if self.mesh is None:
