@@ -79,3 +79,35 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs, check: bool = False):
+    """`jax.shard_map` across jax versions: new API spells the replication
+    check `check_vma`, the older `jax.experimental.shard_map` spells it
+    `check_rep`."""
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check
+        )
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=check
+        )
+
+
+def global_row_draw(fn, key, local_shape, global_batch: int | None, axis: str | None):
+    """Shard-layout-independent randomness for shard_map bodies: draw the
+    GLOBAL (global_batch, ...) counter block and slice this shard's rows.
+    Threefry bits depend only on key + flat position, so the sharded draw is
+    bit-identical to the single-device draw of the same global shape.  With
+    global_batch/axis unset (single-device), draws `local_shape` directly —
+    same bits, zero overhead."""
+    if global_batch is None or axis is None or global_batch == local_shape[0]:
+        return fn(key, local_shape)
+    full = fn(key, (global_batch,) + tuple(local_shape[1:]))
+    offset = jax.lax.axis_index(axis) * local_shape[0]
+    return jax.lax.dynamic_slice_in_dim(full, offset, local_shape[0], axis=0)

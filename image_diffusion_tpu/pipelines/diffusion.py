@@ -42,8 +42,9 @@ from ..ops import schedule as S
 _PROGRESS_BAR = None
 
 
-def _tick_progress():
-    if _PROGRESS_BAR is not None:
+def _tick_progress(shard=0):
+    # under shard_map the callback fires once per shard; only shard 0 ticks
+    if _PROGRESS_BAR is not None and int(shard) == 0:
         _PROGRESS_BAR.update(1)
 
 
@@ -74,18 +75,15 @@ def _sample_loop(
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
 
     def step_noise(t, shape):
-        """Per-step gaussian noise.  Under shard_map (data_axis set) each
-        shard draws the GLOBAL (noise_batch, ...) counter block and slices
-        its own rows, so multi-chip sampling is bit-identical to the
-        single-device run (threefry bits depend only on key + flat
-        position)."""
-        if noise_batch is None or noise_batch == shape[0]:
-            return jax.random.normal(jax.random.fold_in(key, t), shape, jnp.float32)
-        zfull = jax.random.normal(
-            jax.random.fold_in(key, t), (noise_batch,) + shape[1:], jnp.float32
+        """Per-step gaussian noise; under shard_map (data_axis set) drawn in
+        GLOBAL batch shape and row-sliced, so multi-chip sampling is
+        bit-identical to the single-device run (parallel/mesh.py helper)."""
+        from ..parallel.mesh import global_row_draw
+
+        return global_row_draw(
+            lambda k, s: jax.random.normal(k, s, jnp.float32),
+            jax.random.fold_in(key, t), shape, noise_batch, data_axis,
         )
-        offset = jax.lax.axis_index(data_axis) * shape[0]
-        return jax.lax.dynamic_slice_in_dim(zfull, offset, shape[0], axis=0)
 
     # 2x-batched CFG: [conditional | unconditional]
     ctx = jnp.concatenate([class_labels, jnp.zeros_like(class_labels)])
@@ -97,7 +95,8 @@ def _sample_loop(
         eps2 = unet_model.apply(unet_variables, x2, t2, ctx, mask)
         eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2)
         if progress:
-            jax.debug.callback(_tick_progress, ordered=False)
+            shard = jax.lax.axis_index(data_axis) if data_axis else 0
+            jax.debug.callback(_tick_progress, shard, ordered=False)
         return eps_u + scales * (eps_c - eps_u)
 
     if sampler == "ddpm":
@@ -175,6 +174,8 @@ class DiffusionPipeline:
             schedule_cfg.noise_type,
         )
         self.classes = classes.split(",") if isinstance(classes, str) else list(classes)
+        # jitted shard_map sampler per (mesh, sampler config) — see sample()
+        self._shard_sample_cache: dict = {}
 
     @property
     def latent_shape(self) -> tuple[int, int, int]:
@@ -309,27 +310,35 @@ class DiffusionPipeline:
                 # collectives).  Per-step ddpm/ddim noise is drawn in GLOBAL
                 # batch shape and row-sliced per shard (`step_noise`), so the
                 # sharded run is bit-identical to the single-device run.
+                # The jitted shard_map is CACHED per configuration — a fresh
+                # closure per call would retrace/recompile every call (and
+                # eval_fid loops sample() per batch).
                 from jax.sharding import PartitionSpec as P
 
-                try:
-                    from jax import shard_map
-                except ImportError:  # pragma: no cover - older jax
-                    from jax.experimental.shard_map import shard_map
+                from ..parallel.mesh import shard_map_compat
 
-                def local_fn(uv, vv, x, lbl, s):
-                    return _sample_loop(
-                        self.unet, uv, self.vae, vv, self.sched,
-                        x, lbl, s, key1, quantize, sampler, timesteps, eta,
-                        progress, noise_batch=B_pad, data_axis="data",
-                    )
+                cache_key = (
+                    mesh, sampler, eta, progress, quantize, B_pad,
+                    None if timesteps is None else tuple(timesteps.tolist()),
+                )
+                fn = self._shard_sample_cache.get(cache_key)
+                if fn is None:
+                    def local_fn(uv, vv, x, lbl, s, k1):
+                        return _sample_loop(
+                            self.unet, uv, self.vae, vv, self.sched,
+                            x, lbl, s, k1, quantize, sampler, timesteps, eta,
+                            progress, noise_batch=B_pad, data_axis="data",
+                        )
 
-                imgs = jax.jit(
-                    shard_map(
-                        local_fn, mesh=mesh,
-                        in_specs=(P(), P(), P("data"), P("data"), P("data")),
-                        out_specs=P("data"), check_vma=False,
+                    fn = jax.jit(
+                        shard_map_compat(
+                            local_fn, mesh,
+                            in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                            out_specs=P("data"),
+                        )
                     )
-                )(unet_vars, vae_vars, x_init, labels, scales)
+                    self._shard_sample_cache[cache_key] = fn
+                imgs = fn(unet_vars, vae_vars, x_init, labels, scales, key1)
             else:
                 imgs = _sample_loop(
                     self.unet,

@@ -164,6 +164,10 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
             )
         return state, {"unet/loss": loss, "unet/grad": grad_norm}
 
+    if data_axis is not None:
+        # the shard_map caller wraps + jits the raw body itself
+        return _body
+
     _train_step = partial(jax.jit, donate_argnums=0)(_body)
 
     def train_step(state, x, c, rng):
@@ -174,9 +178,6 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
         pk.set_context("train")
         return _train_step(state, x, c, rng)
 
-    if data_axis is not None:
-        # shard_map caller jits the composition itself; expose the raw body
-        train_step.body = _body
     return train_step
 
 
@@ -300,21 +301,24 @@ class DiffusionTrainer:
             # kernels.  FSDP stays on GSPMD auto-sharding (kernels off).
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
+            from ..parallel.mesh import shard_map_compat
 
+            d = mesh.shape["data"]
+            if config.train.batch_size % (d * config.train.grad_accum) != 0:
+                raise ValueError(
+                    f"batch_size={config.train.batch_size} must divide by "
+                    f"data axis ({d}) x grad_accum ({config.train.grad_accum}) "
+                    "— micro-batches split the per-shard local batch"
+                )
             body = make_train_step(
                 self.model, self.sched, data_axis="data",
                 global_batch=config.train.batch_size, **step_kwargs,
-            ).body
+            )
             jitted = jax.jit(
-                shard_map(
-                    body, mesh=mesh,
+                shard_map_compat(
+                    body, mesh,
                     in_specs=(P(), P("data"), P("data"), P()),
                     out_specs=(P(), P()),
-                    check_vma=False,
                 ),
                 donate_argnums=0,
             )
@@ -323,12 +327,28 @@ class DiffusionTrainer:
                 from ..ops import pallas as pk
 
                 pk.set_context("train")
-                return jitted(state, x, c, rng)
+                # kernels are shard_map-safe for THIS trace only; scoped so
+                # a coexisting GSPMD trainer keeps its protection
+                pk.set_multichip_train(False)
+                try:
+                    return jitted(state, x, c, rng)
+                finally:
+                    pk.set_multichip_train(True)
 
             self.train_step = train_step
-            pk.set_multichip_train(False)  # kernels are shard_map-safe here
         else:
-            self.train_step = make_train_step(self.model, self.sched, **step_kwargs)
+            base_step = make_train_step(self.model, self.sched, **step_kwargs)
+            multichip = mesh is not None and mesh.size > 1
+
+            def train_step(state, x, c, rng, _step=base_step, _mc=multichip):
+                from ..ops import pallas as pk
+
+                # assert THIS trainer's gating at every call: construction
+                # order of multiple trainers must not leak a stale flag
+                pk.set_multichip_train(_mc)
+                return _step(state, x, c, rng)
+
+            self.train_step = train_step
 
     def _shard_state(self, state):
         if self.mesh is None:

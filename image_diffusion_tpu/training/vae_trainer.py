@@ -465,9 +465,21 @@ class VAETrainer:
             logger.log_console("No checkpoint provided. Training from scratch.")
 
         config.train.validate_accum()
-        self.train_step = make_vae_train_step(
+        _base_step = make_vae_train_step(
             self.vae, self.disc, config, percept_fn, self.vae_tx, self.disc_tx
         )
+        _multichip = mesh is not None and mesh.size > 1
+
+        def _train_step(*args, **kwargs):
+            from ..ops import pallas as pk
+
+            # assert THIS trainer's kernel gating at every call (its GSPMD
+            # step cannot partition Mosaic custom calls on >1 devices);
+            # construction order of multiple trainers must not leak a flag
+            pk.set_multichip_train(_multichip)
+            return _base_step(*args, **kwargs)
+
+        self.train_step = _train_step
         self.eval_step = make_eval_step(self.vae, self.disc, config, percept_fn)
 
         # fixed plot set for periodic reconstruction figures
