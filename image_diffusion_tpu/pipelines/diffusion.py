@@ -281,8 +281,10 @@ class DiffusionPipeline:
             n_pad = (-B) % d
             B_pad = B + n_pad
             if n_pad:
-                pad = lambda a: jnp.concatenate([a, a[:n_pad]])
-                x_init, labels, scales = pad(x_init), pad(labels), pad(scales)
+                # wrap-around indices: correct even when the pad exceeds the
+                # batch (e.g. 3 images on an 8-chip data axis)
+                idx = jnp.arange(B_pad) % B
+                x_init, labels, scales = x_init[idx], labels[idx], scales[idx]
             sh = batch_sharding(mesh)
             x_init = jax.device_put(x_init, sh)
             labels = jax.device_put(labels, sh)

@@ -125,6 +125,26 @@ def test_scan_cfg_matches_two_pass_python_loop(pipeline):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_imgs), atol=1e-4)
 
 
+def test_mesh_sampler_jit_is_cached(pipeline):
+    """Repeated mesh sampling must reuse ONE jitted shard_map executable —
+    a fresh closure per call would retrace/recompile every eval_fid batch
+    (minutes per compile at full size)."""
+    from image_diffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pipeline._shard_sample_cache.clear()
+    a = pipeline.sample([1.0], seed=3, sampler="dpm", num_inference_steps=3,
+                        mesh=mesh)
+    b = pipeline.sample([1.0], seed=3, sampler="dpm", num_inference_steps=3,
+                        mesh=mesh)
+    assert len(pipeline._shard_sample_cache) == 1
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a different sampler config is a different executable
+    pipeline.sample([1.0], seed=3, sampler="dpm", num_inference_steps=4,
+                    mesh=mesh)
+    assert len(pipeline._shard_sample_cache) == 2
+
+
 def test_bundle_checkpoint_roundtrip(pipeline, tmp_path):
     path = os.path.join(tmp_path, "bundle.ckpt")
     pipeline.to_checkpoint(path)
