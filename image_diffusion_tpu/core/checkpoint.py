@@ -28,23 +28,27 @@ from flax import serialization
 MAGIC = b"IDTPU1\x00\x00"
 
 
+def _leaf_to_host(x):
+    """Device leaf -> numpy.  Multi-host arrays whose shards span other
+    processes (e.g. FSDP params over a cross-host 'model' axis) are
+    collectively gathered — EVERY process must therefore reach this point
+    (the process-0 writer gate comes after the gather)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    return jax.tree.map(_leaf_to_host, tree)
 
 
-def save_checkpoint(path: str, architecture: dict | None = None, epoch: int | None = None, **trees) -> None:
-    """Save named pytrees + metadata to one msgpack file.
-
-    Mirrors the reference save_checkpoint kwargs API
-    (modules/util.py:81-92): each kwarg is a named state tree.
-    """
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return  # multi-host: exactly one writer (all hosts hold replicas)
+def _write_checkpoint(path: str, architecture, epoch, host_trees: dict) -> None:
+    """Serialize already-hosted trees and atomically write the file."""
     # to_state_dict flattens namedtuple pytrees (optax states) into dicts
     payload: dict[str, Any] = {
-        name: serialization.to_state_dict(_to_host(tree))
-        for name, tree in trees.items()
-        if tree is not None
+        name: serialization.to_state_dict(tree) for name, tree in host_trees.items()
     }
     meta = json.dumps({"architecture": architecture, "epoch": epoch, "trees": sorted(payload)})
     blob = serialization.msgpack_serialize(payload)
@@ -60,6 +64,22 @@ def save_checkpoint(path: str, architecture: dict | None = None, epoch: int | No
     os.replace(tmp, path)  # atomic: preemption-safe
 
 
+def save_checkpoint(path: str, architecture: dict | None = None, epoch: int | None = None, **trees) -> None:
+    """Save named pytrees + metadata to one msgpack file.
+
+    Mirrors the reference save_checkpoint kwargs API
+    (modules/util.py:81-92): each kwarg is a named state tree.
+    """
+    # serialize against any in-flight async save (the SIGTERM preemption
+    # save can race the end-of-epoch async write of the same path)
+    wait_for_async_saves()
+    # gather BEFORE the writer gate: cross-host shards need all processes
+    host_trees = {k: _to_host(t) for k, t in trees.items() if t is not None}
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # multi-host: exactly one writer after the collective gather
+    _write_checkpoint(path, architecture, epoch, host_trees)
+
+
 _async_state: dict = {"thread": None}
 
 
@@ -71,19 +91,18 @@ def save_checkpoint_async(path: str, architecture: dict | None = None, epoch: in
     (at most one write in flight — bounded memory)."""
     import threading
 
+    # collective gather first: every process participates (see _leaf_to_host)
+    host_trees = {
+        name: _to_host(tree) for name, tree in trees.items() if tree is not None
+    }
     if jax.process_count() > 1 and jax.process_index() != 0:
         return
-    host_trees = {
-        name: jax.tree.map(lambda x: np.asarray(x), tree)
-        for name, tree in trees.items()
-        if tree is not None
-    }
     prev = _async_state["thread"]
     if prev is not None:
         prev.join()
 
     def work():
-        save_checkpoint(path, architecture=architecture, epoch=epoch, **host_trees)
+        _write_checkpoint(path, architecture, epoch, host_trees)
 
     t = threading.Thread(target=work, daemon=False)
     t.start()

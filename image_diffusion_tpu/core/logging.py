@@ -76,17 +76,27 @@ class BasicLogger:
             self.log_metric(name, val, step)
 
     def log_figure(self, name: str, figure) -> None:
-        if not self._is_main:
+        try:
             # single-writer invariant: like metrics/checkpoints, only
             # process 0 writes figures (concurrent savefig to one shared
             # path corrupts the file)
-            return
-        if self._mlflow is not None:
-            self._mlflow.log_figure(figure, name)
-        elif self.logs_dir is not None:
-            path = os.path.join(self.logs_dir, self.run_name, name)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            figure.savefig(path)
+            if not self._is_main:
+                return
+            if self._mlflow is not None:
+                self._mlflow.log_figure(figure, name)
+            elif self.logs_dir is not None:
+                path = os.path.join(self.logs_dir, self.run_name, name)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                figure.savefig(path)
+        finally:
+            # the logger owns figure disposal: pyplot's Gcf registry would
+            # otherwise keep every recon/preview figure alive for the run
+            try:
+                import matplotlib.pyplot as plt
+
+                plt.close(figure)
+            except Exception:  # pragma: no cover - figure not pyplot-managed
+                pass
 
     def log_params(self, **kwargs) -> None:
         if self._mlflow is not None:

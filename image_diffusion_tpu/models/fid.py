@@ -68,8 +68,14 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     tr_sqrt = np.sqrt(np.clip(s2, 0, None)).sum()
 
     if not np.isfinite(tr_sqrt):
+        if not (np.isfinite(cov1).all() and np.isfinite(cov2).all()):
+            # NaN covariances (diverged features) can never be repaired by a
+            # diagonal offset — fail loudly instead of recursing forever
+            raise ValueError("non-finite covariance in frechet_distance")
+        if eps > 1e-2:
+            raise ValueError("frechet_distance failed to stabilize (eps cap)")
         offset = np.eye(cov1.shape[0]) * eps
-        return frechet_distance(mu1, cov1 + offset, mu2, cov2 + offset)
+        return frechet_distance(mu1, cov1 + offset, mu2, cov2 + offset, eps=eps * 10)
 
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * tr_sqrt)
 
@@ -83,16 +89,27 @@ class FID:
         self.fake = RunningStats(dim)
         self._real_done = False
 
+    def _features(self, images01) -> np.ndarray:
+        """(N, D) features on host.  Multi-host eval batches are globally
+        sharded jax Arrays; the (small) feature output is gathered across
+        processes so every host accumulates the same global statistics."""
+        feats = self.feature_fn(images01)
+        if isinstance(feats, jax.Array) and not feats.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            feats = multihost_utils.process_allgather(feats, tiled=True)
+        return np.asarray(feats)
+
     def update_fake(self, images01, n_valid: int | None = None) -> None:
         """`n_valid` drops trailing pad rows (full-coverage eval batches keep
         one compiled feature_fn shape by padding the tail batch)."""
-        self.fake.update(np.asarray(self.feature_fn(images01))[:n_valid])
+        self.fake.update(self._features(images01)[:n_valid])
 
     def update_real_once(self, images01, n_valid: int | None = None) -> None:
         """Ingest real features only until the first compute() latches them
         (reference reset_real_features=False semantics)."""
         if not self._real_done:
-            self.real.update(np.asarray(self.feature_fn(images01))[:n_valid])
+            self.real.update(self._features(images01)[:n_valid])
 
     def reset_fake(self) -> None:
         self.fake.reset()

@@ -44,10 +44,19 @@ from .data import ArrayDataset, epoch_batches, steps_per_epoch
 
 
 def warmup_schedule(learning_rate: float, warmup_steps: int) -> optax.Schedule:
-    """lr/100 -> lr linearly over warmup_steps, then constant."""
+    """lr/100 -> lr linearly over warmup_steps, then constant.
+
+    Pure jnp-free math: the optimizer traces it with a traced step, while
+    the trainer's logging calls it with a Python int — which must NOT
+    enqueue device work (a float() on a device scalar would force a
+    host-device sync every step, exactly the stall MetricHolder avoids)."""
     min_lr = learning_rate / 100.0
 
     def schedule(step):
+        if isinstance(step, (int, float)):  # host path: plain Python math
+            frac = min(step / max(warmup_steps, 1), 1.0)
+            warm = min_lr + (learning_rate - min_lr) * frac
+            return warm if step < warmup_steps else learning_rate
         frac = jnp.minimum(step / max(warmup_steps, 1), 1.0)
         warm = min_lr + (learning_rate - min_lr) * frac
         return jnp.where(step < warmup_steps, warm, learning_rate)
@@ -252,13 +261,20 @@ class DiffusionTrainer:
         self.curr_epoch = 0
         if checkpoint is not None:
             trees, meta = ckpt.load_checkpoint(checkpoint)
+            restored_params = ckpt.restore_into(self.state.params, trees["unet"])
+            if self.state.ema_params is None:
+                ema = None
+            elif "unet_ema" in trees:
+                ema = ckpt.restore_into(self.state.ema_params, trees["unet_ema"])
+            else:
+                # resuming WITH ema_decay from a checkpoint saved without
+                # EMA: seed the average from the restored params (falling
+                # back to the fresh random init would poison the EMA for
+                # thousands of steps at decay ~0.999)
+                ema = jax.tree.map(jnp.copy, restored_params)
             self.state = self.state.replace(
-                params=ckpt.restore_into(self.state.params, trees["unet"]),
-                ema_params=(
-                    ckpt.restore_into(self.state.ema_params, trees["unet_ema"])
-                    if "unet_ema" in trees and self.state.ema_params is not None
-                    else self.state.ema_params
-                ),
+                params=restored_params,
+                ema_params=ema,
                 opt_state=ckpt.restore_into(self.state.opt_state, trees["optim"]),
                 step=int(trees["step"]["step"]),
             )
@@ -428,7 +444,9 @@ class DiffusionTrainer:
                     steps_in_buffer = 0
 
                 if guard.triggered:
-                    path = self.save(max(epoch - 1, 0))
+                    # meta epoch = last COMPLETED epoch (-1 when none):
+                    # resume replays the interrupted epoch, including epoch 0
+                    path = self.save(epoch - 1)
                     self.logger.log_console(
                         f"SIGTERM: saved preemption checkpoint {path}; exiting."
                     )

@@ -38,7 +38,6 @@ cleanly because the statistics are global-sum-then-update.
 from __future__ import annotations
 
 import os
-import time
 from functools import partial
 from typing import Any, Callable
 
@@ -519,9 +518,11 @@ class VAETrainer:
         spe = steps_per_epoch(self.train_set, cfg.batch_size)
         guard = PreemptionGuard()
 
+        from ..core.profiling import StepTimer
+
         for epoch in range(self.curr_epoch, cfg.epochs):
             ekey = epoch_key(key, epoch)
-            t_last = time.time()
+            timer, steps_in_window = StepTimer(), 0
             for step, (x,) in enumerate(
                 progress(
                     epoch_batches(self.train_set, cfg.batch_size, self.mesh, numpy_seed(ekey)),
@@ -538,18 +539,23 @@ class VAETrainer:
                     self.state, x, ekey, disc_active=disc_active
                 )
                 self.holder.store_dict(metrics)
+                steps_in_window += 1
 
                 if (adjusted_step + 1) % cfg.log_interval == 0:
                     flushed = self.holder.flush()
-                    now = time.time()
-                    flushed["util/imgs_per_sec"] = (
-                        cfg.log_interval * cfg.batch_size / (now - t_last)
+                    # rate over the ACTUAL steps since the last flush (the
+                    # window may be shorter than log_interval across epoch
+                    # boundaries); the flushed metric device_get was the sync
+                    flushed["util/imgs_per_sec"] = timer.items_per_sec(
+                        steps_in_window * cfg.batch_size
                     )
-                    t_last = now
+                    steps_in_window = 0
                     self.logger.log_metrics(flushed, step=adjusted_step)
 
                 if guard.triggered:
-                    path = self.save(max(epoch - 1, 0))
+                    # meta epoch = last COMPLETED epoch (-1 when none):
+                    # resume replays the interrupted epoch, including epoch 0
+                    path = self.save(epoch - 1)
                     self.logger.log_console(
                         f"SIGTERM: saved preemption checkpoint {path}; exiting."
                     )
