@@ -88,6 +88,69 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(trees["model"]["w"], np.full((4,), float(i)))
 
 
+def test_sync_save_joins_inflight_async_same_path(tmp_path):
+    """The SIGTERM preemption path saves synchronously while an async
+    end-of-epoch save of the SAME path may be in flight — the sync save
+    must serialize against it (both write path+'.tmp'), and the last
+    writer's content must win intact."""
+    import numpy as np
+
+    from image_diffusion_tpu.core.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        save_checkpoint_async,
+    )
+
+    path = str(tmp_path / "race.ckpt")
+    # a large tree so the async serialize+write takes measurable time
+    big = {"w": np.zeros((512, 512), np.float32)}
+    save_checkpoint_async(path, architecture=None, epoch=1, model=big)
+    save_checkpoint(
+        path, architecture=None, epoch=2,
+        model={"w": np.ones((512, 512), np.float32)},
+    )
+    trees, meta = load_checkpoint(path)
+    assert meta["epoch"] == 2
+    np.testing.assert_array_equal(trees["model"]["w"], np.ones((512, 512)))
+
+
+def test_preemption_epoch0_resume_replays_epoch0(tmp_path):
+    """A preemption checkpoint taken mid-epoch-0 records epoch=-1 so resume
+    restarts at epoch 0 instead of silently skipping it."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_diffusion_tpu.core.config import (
+        DiffusionConfig,
+        DiffusionTrainConfig,
+        ScheduleConfig,
+        UNetArch,
+    )
+    from image_diffusion_tpu.core.logging import BasicLogger
+    from image_diffusion_tpu.core.metrics import MetricHolder
+    from image_diffusion_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = DiffusionConfig(
+        arch=UNetArch(z_dim=3, channels=(8, 16), mid_channels=(16, 16),
+                      time_dim=16, num_res_layers=1, num_heads=2, num_groups=4,
+                      num_classes=3),
+        schedule=ScheduleConfig(num_steps=10),
+        train=DiffusionTrainConfig(
+            batch_size=4, epochs=2, precision="fp32", seed=0,
+            checkpoints_dir=str(tmp_path),
+        ),
+    )
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.normal(size=(4, 8, 8, 6)).astype(np.float16),
+                      rng.integers(0, 3, size=(4,)).astype(np.uint8))
+    logger = BasicLogger(str(tmp_path), "p", no_mlflow=True, log_interval=1)
+    tr = DiffusionTrainer(cfg, ds, logger, MetricHolder(1), run_name="p")
+    path = tr.save(-1)  # what the SIGTERM handler does during epoch 0
+    tr2 = DiffusionTrainer(cfg, ds, logger, MetricHolder(1), run_name="p",
+                           checkpoint=path)
+    assert tr2.curr_epoch == 0  # replays the interrupted first epoch
+
+
 def test_epoch_batches_rejects_indivisible_mesh_batch():
     from image_diffusion_tpu.parallel.mesh import make_mesh
 
