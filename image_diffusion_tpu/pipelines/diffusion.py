@@ -193,9 +193,14 @@ class DiffusionPipeline:
         num_inference_steps: int | None = None,
         eta: float = 0.0,
         key=None,
+        mesh=None,
     ) -> jax.Array:
         """Sample one explicit batch: per-row class labels, guidance scales,
         and initial latents -> (B, H, W, 3) images in [-1, 1].
+
+        mesh: optional ('data', ...) Mesh — the batch shards over 'data'
+        (must divide it; serving picks batch sizes accordingly) and runs
+        per-shard under the cached shard_map executable.
 
         The programmatic per-request API (serving uses it: each row's label/
         scale/latent is independent, unlike the classes-x-scales grid that
@@ -209,22 +214,84 @@ class DiffusionPipeline:
         from ..ops import pallas as pk
 
         pk.set_context("sample")
+        x_init = jnp.asarray(x_init, jnp.float32)
+        labels = jnp.asarray(labels, jnp.int32)
+        scales = jnp.asarray(cfg_scales, jnp.float32)
+        key = jax.random.key(0) if key is None else key
+        quantize = self.vae_arch.bottleneck == "vq"
+        if mesh is not None:
+            B = x_init.shape[0]
+            if B % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"sample_batch over a mesh: batch {B} must divide the "
+                    f"data axis ({mesh.shape['data']})"
+                )
+            from ..parallel.mesh import batch_sharding, replicate
+
+            sh = batch_sharding(mesh)
+            return self._sharded_sample(
+                mesh,
+                replicate(mesh, self.unet_variables),
+                replicate(mesh, self.vae_variables),
+                jax.device_put(x_init, sh),
+                jax.device_put(labels, sh),
+                jax.device_put(scales, sh),
+                key, quantize, sampler, timesteps, eta, False, B,
+            )
         return _sample_loop(
             self.unet,
             self.unet_variables,
             self.vae,
             self.vae_variables,
             self.sched,
-            jnp.asarray(x_init, jnp.float32),
-            jnp.asarray(labels, jnp.int32),
-            jnp.asarray(cfg_scales, jnp.float32),
-            jax.random.key(0) if key is None else key,
-            self.vae_arch.bottleneck == "vq",
+            x_init,
+            labels,
+            scales,
+            key,
+            quantize,
             sampler,
             timesteps,
             eta,
             False,
         )
+
+    def _sharded_sample(self, mesh, unet_vars, vae_vars, x_init, labels,
+                        scales, key1, quantize, sampler, timesteps, eta,
+                        progress, B_pad):
+        """Run the sampler per-shard under shard_map (Manual mesh axes — the
+        layout the Pallas kernels require; GSPMD cannot auto-partition
+        Mosaic custom calls).  Embarrassingly parallel over the image batch,
+        no collectives; ddpm/ddim noise is drawn in GLOBAL batch shape and
+        row-sliced per shard, so output is bit-identical to single-chip.
+        The jitted shard_map is CACHED per configuration — a fresh closure
+        per call would retrace/recompile every call (eval_fid loops sample()
+        per batch)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import shard_map_compat
+
+        cache_key = (
+            mesh, sampler, eta, progress, quantize, B_pad,
+            None if timesteps is None else tuple(timesteps.tolist()),
+        )
+        fn = self._shard_sample_cache.get(cache_key)
+        if fn is None:
+            def local_fn(uv, vv, x, lbl, s, k1):
+                return _sample_loop(
+                    self.unet, uv, self.vae, vv, self.sched,
+                    x, lbl, s, k1, quantize, sampler, timesteps, eta,
+                    progress, noise_batch=B_pad, data_axis="data",
+                )
+
+            fn = jax.jit(
+                shard_map_compat(
+                    local_fn, mesh,
+                    in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                    out_specs=P("data"),
+                )
+            )
+            self._shard_sample_cache[cache_key] = fn
+        return fn(unet_vars, vae_vars, x_init, labels, scales, key1)
 
     def sample(
         self,
@@ -305,42 +372,10 @@ class DiffusionPipeline:
             key1 = jax.random.fold_in(key, 1)
             quantize = self.vae_arch.bottleneck == "vq"
             if mesh is not None:
-                # Pallas kernels require Manual mesh axes (shard_map), not
-                # GSPMD auto-partitioning of the Mosaic custom calls — so the
-                # multi-chip path runs the whole compiled sampler per-shard
-                # (it is embarrassingly parallel over the image batch, no
-                # collectives).  Per-step ddpm/ddim noise is drawn in GLOBAL
-                # batch shape and row-sliced per shard (`step_noise`), so the
-                # sharded run is bit-identical to the single-device run.
-                # The jitted shard_map is CACHED per configuration — a fresh
-                # closure per call would retrace/recompile every call (and
-                # eval_fid loops sample() per batch).
-                from jax.sharding import PartitionSpec as P
-
-                from ..parallel.mesh import shard_map_compat
-
-                cache_key = (
-                    mesh, sampler, eta, progress, quantize, B_pad,
-                    None if timesteps is None else tuple(timesteps.tolist()),
+                imgs = self._sharded_sample(
+                    mesh, unet_vars, vae_vars, x_init, labels, scales, key1,
+                    quantize, sampler, timesteps, eta, progress, B_pad,
                 )
-                fn = self._shard_sample_cache.get(cache_key)
-                if fn is None:
-                    def local_fn(uv, vv, x, lbl, s, k1):
-                        return _sample_loop(
-                            self.unet, uv, self.vae, vv, self.sched,
-                            x, lbl, s, k1, quantize, sampler, timesteps, eta,
-                            progress, noise_batch=B_pad, data_axis="data",
-                        )
-
-                    fn = jax.jit(
-                        shard_map_compat(
-                            local_fn, mesh,
-                            in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
-                            out_specs=P("data"),
-                        )
-                    )
-                    self._shard_sample_cache[cache_key] = fn
-                imgs = fn(unet_vars, vae_vars, x_init, labels, scales, key1)
             else:
                 imgs = _sample_loop(
                     self.unet,

@@ -60,6 +60,9 @@ def parse_args():
                    help="Inference steps for ddim/dpm (ddpm always runs the "
                         "full training schedule).")
     p.add_argument("--eta", type=float, default=0.0, help="DDIM stochasticity.")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="Shard each compiled batch over N chips (batch-size "
+                        "must divide N; default: single device).")
     p.add_argument("--use-cpu", action="store_true")
     return p.parse_args()
 
@@ -81,6 +84,17 @@ class Engine:
         self.classes = self.pipe.classes
         self.B = args.batch_size
         self.sampler = args.sampler
+        self.mesh = None
+        if args.data_parallel:
+            from image_diffusion_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(data=args.data_parallel, model=1,
+                                  devices=jax.devices()[: args.data_parallel])
+            if self.B % args.data_parallel != 0:
+                raise SystemExit(
+                    f"--batch-size {self.B} must divide --data-parallel "
+                    f"{args.data_parallel}"
+                )
 
         self.base_key = jax.random.key(0)
         self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
@@ -111,6 +125,7 @@ class Engine:
             num_inference_steps=self.args.steps,
             eta=float(self.args.eta),
             key=self.jax.random.fold_in(self.base_key, 1),
+            mesh=self.mesh,
         )
 
     @property

@@ -125,6 +125,27 @@ def test_scan_cfg_matches_two_pass_python_loop(pipeline):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_imgs), atol=1e-4)
 
 
+def test_sample_batch_sharded_matches_unsharded(pipeline):
+    """The serving API shards over the data axis (serve.py --data-parallel);
+    per-row outputs must match the single-device run."""
+    from image_diffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    B = jax.device_count()
+    x = jax.random.normal(jax.random.key(9), (B, *pipeline.latent_shape))
+    labels = jnp.arange(B, dtype=jnp.int32) % 3
+    scales = jnp.full((B,), 2.0, jnp.float32)
+    sharded = pipeline.sample_batch(labels, scales, x, sampler="dpm",
+                                    num_inference_steps=3, mesh=mesh)
+    plain = pipeline.sample_batch(labels, scales, x, sampler="dpm",
+                                  num_inference_steps=3)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               atol=1e-5)
+    with pytest.raises(ValueError):
+        pipeline.sample_batch(labels[: B - 1], scales[: B - 1], x[: B - 1],
+                              mesh=mesh)
+
+
 def test_mesh_sampler_jit_is_cached(pipeline):
     """Repeated mesh sampling must reuse ONE jitted shard_map executable —
     a fresh closure per call would retrace/recompile every eval_fid batch
