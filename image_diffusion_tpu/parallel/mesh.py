@@ -29,12 +29,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed() -> None:
-    """Multi-host init (no-op on a single process)."""
-    if jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run; nothing to initialize
+    """Multi-host init.  MUST run before any jax call that initializes the
+    XLA backend (probing jax.process_count() first would itself initialize
+    it and make jax.distributed.initialize() unconditionally raise).  In a
+    CONFIGURED multi-process environment (coordinator/worker env vars set)
+    a failure here is fatal — silently continuing would train N independent
+    single-host runs that all write the same checkpoint path; on a plain
+    single-process launch the expected failure is swallowed."""
+    import os
+
+    # explicit coordinator / process-count settings only: TPU images export
+    # single-host defaults like TPU_WORKER_HOSTNAMES=localhost, which must
+    # NOT make a plain single-process launch fatal
+    configured = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES",
+        )
+    )
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        if configured:
+            raise RuntimeError(
+                "jax.distributed.initialize() failed in a configured "
+                f"multi-host environment: {e}"
+            ) from e
+        # single-process run; nothing to initialize
 
 
 def make_mesh(
@@ -51,8 +75,12 @@ def make_mesh(
     n = len(devices)
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    if data * model < n:
+        # a partial mesh (e.g. --data-parallel 4 on an 8-chip host) uses
+        # the first data*model devices
+        devices = devices[: data * model]
+    elif data * model > n:
+        raise ValueError(f"mesh {data}x{model} > {n} devices")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

@@ -223,8 +223,8 @@ class DiffusionPipeline:
             B = x_init.shape[0]
             if B % mesh.shape["data"] != 0:
                 raise ValueError(
-                    f"sample_batch over a mesh: batch {B} must divide the "
-                    f"data axis ({mesh.shape['data']})"
+                    f"sample_batch over a mesh: the data axis "
+                    f"({mesh.shape['data']}) must divide the batch ({B})"
                 )
             from ..parallel.mesh import batch_sharding, replicate
 

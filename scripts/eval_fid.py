@@ -49,13 +49,9 @@ def parse_args():
 def main():
     args = parse_args()
     if args.use_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        # under the axon image a sitecustomize force-registers the TPU
-        # platform at interpreter start, so the env var alone does not
-        # stick; the explicit config update does.
-        import jax
+        from image_diffusion_tpu.core.cli import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
 
     import jax
     import numpy as np
@@ -81,8 +77,11 @@ def main():
 
     logging.info("Ingesting real features...")
     real = np.load(args.real, mmap_mode="r")
-    for i in range(0, min(len(real), args.max_real), 256):
-        fid.update_real_once(np.asarray(real[i : i + 256], np.float32) / 255.0)
+    n_real = min(len(real), args.max_real)  # honor the cap EXACTLY
+    for i in range(0, n_real, 256):
+        fid.update_real_once(
+            np.asarray(real[i : min(i + 256, n_real)], np.float32) / 255.0
+        )
 
     logging.info(f"Sampling {args.num_images} images ({args.sampler}, {args.steps} steps)...")
     t0 = time.time()

@@ -54,7 +54,12 @@ def parse_args():
 def vae_dataset(args):
     from PIL import Image
 
-    names = [f for f in os.listdir(args.vae_images) if f.endswith((".jpg", ".png"))]
+    # sorted: os.listdir order is filesystem-dependent, and the row order
+    # defines the dataset identity downstream (latents, labels, dev split)
+    names = sorted(
+        f for f in os.listdir(args.vae_images)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
     logging.info(f"Creating VAE dataset. Found {len(names)} files.")
     size = args.image_size
     buffer = np.zeros((len(names), size, size, 3), np.uint8)
@@ -150,13 +155,9 @@ def clip_labels(images, classes, args) -> np.ndarray:
 def main():
     args = parse_args()
     if args.use_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        # under the axon image a sitecustomize force-registers the TPU
-        # platform at interpreter start, so the env var alone does not
-        # stick; the explicit config update does.
-        import jax
+        from image_diffusion_tpu.core.cli import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
     if args.type == "vae":
         vae_dataset(args)
     else:

@@ -92,14 +92,14 @@ class Engine:
                                   devices=jax.devices()[: args.data_parallel])
             if self.B % args.data_parallel != 0:
                 raise SystemExit(
-                    f"--batch-size {self.B} must divide --data-parallel "
-                    f"{args.data_parallel}"
+                    f"--data-parallel {args.data_parallel} must divide "
+                    f"--batch-size {self.B}"
                 )
 
         self.base_key = jax.random.key(0)
         self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
         self.compiled = False
-        self.stats = {"requests": 0, "batches": 0, "batch_fill": 0}
+        self.stats = {"requests": 0, "batches": 0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -179,7 +179,6 @@ class Engine:
                     reply.put(e)
             self.stats["requests"] += n
             self.stats["batches"] += 1
-            self.stats["batch_fill"] += n
 
     def _to_png(self, img) -> bytes:
         from PIL import Image
@@ -239,7 +238,10 @@ def make_handler(engine: Engine):
                     "cfg_scale": float(payload.get("cfg_scale", 3.0)),
                     "seed": int(payload.get("seed", 0)),
                 }
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, AttributeError,
+                    json.JSONDecodeError) as e:
+                # TypeError: int(None)/float(None); AttributeError: a JSON
+                # array body has no .get — all malformed requests, all 400
                 return self._json(400, {"error": str(e)})
             try:
                 png = engine.submit(req)
@@ -264,11 +266,9 @@ class _Server(ThreadingHTTPServer):
 def main():
     args = parse_args()
     if args.use_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        import jax
+        from image_diffusion_tpu.core.cli import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
 
     engine = Engine(args)
     server = _Server((args.host, args.port), make_handler(engine))

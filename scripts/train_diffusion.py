@@ -36,13 +36,9 @@ def parse_args():
 def main():
     args = parse_args()
     if args.use_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        # under the axon image a sitecustomize force-registers the TPU
-        # platform at interpreter start, so the env var alone does not
-        # stick; the explicit config update does.
-        import jax
+        from image_diffusion_tpu.core.cli import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu()
     if args.debug_nans:
         os.environ["JAX_DEBUG_NANS"] = "True"
 
