@@ -1,18 +1,19 @@
 """Pallas TPU kernels (flash / lane-packed attention, fwd + bwd).
 
 Models consult `attention_mode()` at trace time.  The default is
-CONTEXT-DEPENDENT, from on-chip measurements (v5e, full-size models):
+CONTEXT-DEPENDENT, from on-chip measurements (full-size models; history
+in docs/attn_bwd_measurements_r2.json + docs/packed_maxc_r2.json):
 
-  * sampling: Pallas attention ON — 20.5s vs 29.7s for the 27-image
-    1000-step CFG grid (the lane-packed kernel avoids the 8x head-dim
-    padding IO for d=16);
-  * training: lane-packed Pallas attention ON for C <= 128 ("packed"
-    mode) now that the kernel ships a Pallas BACKWARD in the same
-    masked layout: 70.5 ms/step vs 96.9 pure XLA vs 77.4 all-Pallas at
-    batch 48 (tools/measure_train_tpu.py, docs/train_measurements_r2.json)
-    — +37% train throughput.  The padded blockwise kernel's
-    XLA-recompute backward still loses at larger C, so "all" stays a
-    sampling-only default.
+  * sampling: packed Pallas attention over the whole channel ladder
+    (`packed_max_c()` -> 512) — 13.7s vs 29.7s stock XLA for the
+    27-image 1000-step CFG grid (the lane-packed contraction-grouped
+    layout avoids the 8x head-dim padding IO at d=16, pays only the
+    128-lane systolic floor at wide channels, and beats the blockwise
+    online-softmax kernel ~9x at short sequences);
+  * training: packed fwd + BACKWARD kernels for C <= 256 — 42.9 ms/step
+    vs 96.9 pure XLA at batch 48 (2.26x train throughput); the C=384/512
+    sites stay XLA where the grid overhead outweighs pad savings under
+    autodiff.
 
 Trainers declare their context via `set_context("train")` (the pipeline
 sets "sample"); the env var IDTPU_PALLAS_ATTN=0/packed/1 overrides
@@ -72,16 +73,16 @@ def set_multichip_train(flag: bool) -> None:
 
 def attention_mode() -> str:
     """Which attention kernels to use at trace time: "off" (pure XLA),
-    "packed" (the lane-packed kernel for C <= 128 only; padded blockwise
-    shapes stay XLA), or "all".
+    "packed" (the lane-packed kernel up to `packed_max_c()` channels;
+    larger shapes stay XLA), or "all" (packed + the blockwise flash
+    kernel beyond the ceiling).
 
     Env override IDTPU_PALLAS_ATTN: "0" -> off, "packed" -> packed,
-    "1" -> all.  Measured defaults (v5e, full-size models): sampling "all";
-    training "packed" (70.5 ms/step vs 96.9 XLA vs 77.4 all-Pallas at
-    batch 48) — the packed kernel ships a Pallas backward in the same
-    lane-masked layout, which wins where the forward does (the dominant
-    1024-token C=128 attention), while the padded blockwise kernel's
-    XLA-recompute backward still loses to plain XLA for fwd+bwd.
+    "1" -> all.  Measured defaults (full-size models): sampling "all";
+    training "packed" (42.9 ms/step vs 96.9 XLA at batch 48) — the packed
+    kernel ships a Pallas backward in the same lane-masked grouped
+    layout, while the blockwise kernel's XLA-recompute backward loses to
+    plain XLA for fwd+bwd.
     """
     v = os.environ.get("IDTPU_PALLAS_ATTN")
     if v is not None:
@@ -111,8 +112,8 @@ def packed_max_c() -> int:
     shape tradeoff settled by measurement (docs/packed_maxc_r2.json, v5e,
     full-size models): the blockwise kernel's online-softmax loop is ~9x off
     roofline at the short sequences (N<=256), so packed wins the whole
-    ladder.  Sampling: 1.093s vs 1.307s 50-step grid at max_c=512.
-    Training: 51.0 ms/step vs 70.3 at max_c=256 (53.3 at 512 — the N=16
+    ladder.  Sampling: 0.928s vs 1.307s 50-step grid at max_c=512.
+    Training: 42.9 ms/step vs 70.3 at max_c=256 (43.9 at 512 — the N=16
     C=512 site's grid overhead outweighs its pad savings under autodiff).
     Override: IDTPU_PACKED_MAX_C."""
     v = os.environ.get("IDTPU_PACKED_MAX_C")
