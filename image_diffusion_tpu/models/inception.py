@@ -157,8 +157,12 @@ class InceptionV3Features(nn.Module):
 
     @nn.compact
     def __call__(self, x01):
+        # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+        # does not antialias — jax defaults antialias=True, which diverges
+        # when DOWNsampling (inputs larger than 299px)
         x = jax.image.resize(
-            x01.astype(jnp.float32), (x01.shape[0], 299, 299, x01.shape[-1]), "bilinear"
+            x01.astype(jnp.float32), (x01.shape[0], 299, 299, x01.shape[-1]),
+            "bilinear", antialias=False,
         )
         x = x * 2.0 - 1.0
 

@@ -168,7 +168,9 @@ class GroupNorm(nn.Module):
         g1 = jnp.sum(s1.reshape(B, G, cg), axis=-1)     # (B, G)
         g2 = jnp.sum(s2.reshape(B, G, cg), axis=-1)
         mean_g = g1 / n
-        var_g = g2 / n - mean_g * mean_g
+        # clamp: E[x^2]-E[x]^2 can go slightly negative by cancellation when
+        # mean >> std, and rsqrt(negative) poisons the pass with NaN
+        var_g = jnp.maximum(g2 / n - mean_g * mean_g, 0.0)
         inv_g = jax.lax.rsqrt(var_g + 1e-5)
 
         bc = (B,) + (1,) * len(spatial_axes) + (C,)

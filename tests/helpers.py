@@ -8,8 +8,8 @@ pay an XLA compile per unique (op, shape) — hundreds of tiny compiles turn a
 import jax
 
 
-def jit_apply(model, **jit_kwargs):
-    """jitted `model.apply` accepting the same call signature."""
+def jit_apply(model):
+    """jitted `model.apply` over positional arguments."""
 
     @jax.jit
     def fn(variables, *args):
@@ -18,7 +18,7 @@ def jit_apply(model, **jit_kwargs):
     return fn
 
 
-def jit_method(model, method, **jit_kwargs):
+def jit_method(model, method):
     @jax.jit
     def fn(variables, *args):
         return model.apply(variables, *args, method=method)

@@ -143,7 +143,7 @@ def main():
     # recon quality on held-out-ish samples
     x = jnp.asarray(imgs[:8])
     x_hat, rl, _, _ = vt.eval_step(vt.state.vae_params, vt.state.codebook, x,
-                                   jax.random.key(0))
+                                   jax.random.key(0), x.shape[0])
     report["vae_final_recon"] = float(np.mean(np.asarray(rl)))
     print(f"[vae] {report['vae_steps']} steps in {report['vae_train_s']}s; "
           f"recon={report['vae_final_recon']:.4f}", flush=True)

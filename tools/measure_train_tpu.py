@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """On-chip training measurements (round-2 review items).
 
-1. Full-size UNet train-step time at batch 48 under kernel variants:
-   default (Pallas attention fwd, XLA GN), IDTPU_PALLAS_GN=1, and
-   IDTPU_PALLAS_ATTN=0 — decides whether each Pallas kernel earns its keep
-   in TRAINING (the sampler numbers live in the README perf table).
+1. Full-size UNet train-step time at batch 48 under the attention-kernel
+   variants (IDTPU_PALLAS_ATTN=0/packed/1) — decides whether each Pallas
+   kernel earns its keep in TRAINING (the sampler numbers live in the
+   README perf table; the once-measured GN kernel was deleted).  For the
+   packed_max_c channel-ceiling sweep see tools/measure_packed_maxc.py,
+   which runs each variant in a fresh subprocess.
 2. A real 500-step full-size stage-2 training run on synthetic latents with
    the loss curve recorded — convergence evidence at full scale.
 
