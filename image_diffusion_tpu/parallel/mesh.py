@@ -58,7 +58,16 @@ def initialize_distributed() -> None:
                 "jax.distributed.initialize() failed in a configured "
                 f"multi-host environment: {e}"
             ) from e
-        # single-process run; nothing to initialize
+        # expected on a plain single-process launch — but a launcher
+        # configured via env vars NOT in the list above (megascale / TPU-pod
+        # task vars) must not fall through to N independent runs writing one
+        # checkpoint path; the backend is initialized now, so probing is safe
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "jax.distributed.initialize() failed yet process_count="
+                f"{jax.process_count()} — multi-process launch with an "
+                f"unrecognized coordinator configuration: {e}"
+            ) from e
 
 
 def make_mesh(
@@ -73,11 +82,19 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    explicit_data = data is not None
     if data is None:
         data = n // model
     if data * model < n:
-        # a partial mesh (e.g. --data-parallel 4 on an 8-chip host) uses
-        # the first data*model devices
+        if not explicit_data:
+            # data was derived as n // model — a silent partial mesh here
+            # would mask a misconfiguration (e.g. model=3 on 8 chips)
+            raise ValueError(
+                f"model={model} does not divide {n} devices; pass data= "
+                "explicitly to use a partial mesh"
+            )
+        # an EXPLICIT partial mesh (e.g. --data-parallel 4 on an 8-chip
+        # host) uses the first data*model devices
         devices = devices[: data * model]
     elif data * model > n:
         raise ValueError(f"mesh {data}x{model} > {n} devices")
@@ -112,19 +129,18 @@ def pad_to_multiple(n: int, m: int) -> int:
 def shard_map_compat(f, mesh, in_specs, out_specs, check: bool = False):
     """`jax.shard_map` across jax versions: new API spells the replication
     check `check_vma`, the older `jax.experimental.shard_map` spells it
-    `check_rep`."""
+    `check_rep`.  Capability is probed via the signature — NOT by retrying
+    on TypeError, which would swallow genuine call-site errors (bad
+    in_specs/out_specs) and re-raise a confusing secondary failure."""
+    import inspect
+
     try:
-        from jax import shard_map
-
-        return shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check
-        )
-    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax import shard_map as sm
+    except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as sm
-
-        return sm(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=check
-        )
+    params = inspect.signature(sm).parameters
+    kw = "check_vma" if "check_vma" in params else "check_rep"
+    return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{kw: check})
 
 
 def global_row_draw(fn, key, local_shape, global_batch: int | None, axis: str | None):

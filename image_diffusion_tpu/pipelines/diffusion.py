@@ -174,8 +174,14 @@ class DiffusionPipeline:
             schedule_cfg.noise_type,
         )
         self.classes = classes.split(",") if isinstance(classes, str) else list(classes)
-        # jitted shard_map sampler per (mesh, sampler config) — see sample()
+        # jitted shard_map sampler per (mesh, sampler config) — see sample().
+        # Lock: serve.py binds the socket before warmup, so a request thread
+        # can race the warmup thread through get/compile/set and duplicate an
+        # expensive compile; only one thread may build each executable.
+        import threading
+
         self._shard_sample_cache: dict = {}
+        self._shard_cache_lock = threading.Lock()
 
     @property
     def latent_shape(self) -> tuple[int, int, int]:
@@ -274,23 +280,24 @@ class DiffusionPipeline:
             mesh, sampler, eta, progress, quantize, B_pad,
             None if timesteps is None else tuple(timesteps.tolist()),
         )
-        fn = self._shard_sample_cache.get(cache_key)
-        if fn is None:
-            def local_fn(uv, vv, x, lbl, s, k1):
-                return _sample_loop(
-                    self.unet, uv, self.vae, vv, self.sched,
-                    x, lbl, s, k1, quantize, sampler, timesteps, eta,
-                    progress, noise_batch=B_pad, data_axis="data",
-                )
+        with self._shard_cache_lock:
+            fn = self._shard_sample_cache.get(cache_key)
+            if fn is None:
+                def local_fn(uv, vv, x, lbl, s, k1):
+                    return _sample_loop(
+                        self.unet, uv, self.vae, vv, self.sched,
+                        x, lbl, s, k1, quantize, sampler, timesteps, eta,
+                        progress, noise_batch=B_pad, data_axis="data",
+                    )
 
-            fn = jax.jit(
-                shard_map_compat(
-                    local_fn, mesh,
-                    in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
-                    out_specs=P("data"),
+                fn = jax.jit(
+                    shard_map_compat(
+                        local_fn, mesh,
+                        in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                        out_specs=P("data"),
+                    )
                 )
-            )
-            self._shard_sample_cache[cache_key] = fn
+                self._shard_sample_cache[cache_key] = fn
         return fn(unet_vars, vae_vars, x_init, labels, scales, key1)
 
     def sample(

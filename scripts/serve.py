@@ -17,12 +17,11 @@ API:
   POST /sample  -> image/png
       JSON body: {"class": 0 | "a hot place", "cfg_scale": 3.0, "seed": 1}
 
-Determinism: each request's initial latent derives only from its seed, and
-the default samplers (dpm, ddim with eta=0) are noise-free — so a request
-reproduces bit-exactly regardless of what it was co-batched with.  The
-ancestral ddpm sampler draws per-step batch noise; a request's row then
-depends on its batch slot (documented, matches the reference's batch-seeded
-sampling semantics in modules/diffusion.py:36-47).
+Determinism: each request's initial latent AND its per-step ancestral noise
+derive only from its seed (per-row noise keys, folded per timestep inside
+the scan) — so every sampler, including stochastic ddpm/ddim-eta>0,
+reproduces bit-exactly regardless of what the request was co-batched with
+or which batch slot it landed in.  Verified by tests/test_serve.py.
 """
 
 import argparse
@@ -99,33 +98,38 @@ class Engine:
         self.base_key = jax.random.key(0)
         self.requests: "queue.Queue[tuple[dict, queue.Queue]]" = queue.Queue()
         self.compiled = False
+        self._worker_error: BaseException | None = None
         self.stats = {"requests": 0, "batches": 0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     # --------------------------------------------------------- jax side
-    def _x_init(self, seeds):
-        """Per-request deterministic initial latents from seeds (B,) int32."""
+    def _row_keys(self, seeds):
+        """Per-request deterministic keys from seeds (B,) int32."""
         jax = self.jax
-        shape = self.pipe.latent_shape
-
-        def one(seed):
-            return jax.random.normal(
-                jax.random.fold_in(self.base_key, seed), shape, "float32"
-            )
-
-        return jax.vmap(one)(jax.numpy.asarray(seeds, "int32"))
+        return jax.vmap(lambda s: jax.random.fold_in(self.base_key, s))(
+            jax.numpy.asarray(seeds, "int32")
+        )
 
     def _run(self, seeds, labels, scales):
+        jax = self.jax
+        row_keys = self._row_keys(seeds)
+        shape = self.pipe.latent_shape
+        x_init = jax.vmap(
+            lambda k: jax.random.normal(k, shape, "float32")
+        )(row_keys)
         return self.pipe.sample_batch(
             labels,
             scales,
-            self._x_init(seeds),
+            x_init,
             sampler=self.sampler,
             num_inference_steps=self.args.steps,
             eta=float(self.args.eta),
-            key=self.jax.random.fold_in(self.base_key, 1),
+            key=jax.random.fold_in(self.base_key, 1),
             mesh=self.mesh,
+            # stochastic samplers draw each row's step noise from its own
+            # key: a request's image never depends on its batch slot
+            row_keys=row_keys,
         )
 
     @property
@@ -143,15 +147,35 @@ class Engine:
 
     # --------------------------------------------------------- batching
     def submit(self, req: dict) -> bytes:
-        """Called from HTTP handler threads; blocks until the image is ready."""
+        """Called from HTTP handler threads; blocks until the image is ready.
+
+        Polls worker liveness while waiting: per-batch Exceptions are relayed
+        through the reply queue, but if the worker thread itself dies (a
+        BaseException, or a bug between get() and put()) an unbounded get()
+        would hang every in-flight and future handler forever."""
         reply: "queue.Queue[object]" = queue.Queue(1)
         self.requests.put((req, reply))
-        result = reply.get()
+        while True:
+            try:
+                result = reply.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        f"inference worker died: {self._worker_error!r}"
+                    )
         if isinstance(result, Exception):
             raise result
         return result
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # liveness flag for submit()'s poll
+            self._worker_error = e
+            raise
+
+    def _worker_loop(self):
         np = self.np
         while True:
             batch = [self.requests.get()]  # block for the first request

@@ -25,6 +25,12 @@ def test_mesh_shapes():
     assert mesh2.shape == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         make_mesh(data=3, model=3)
+    # explicit partial mesh is allowed (--data-parallel 4 on 8 chips)...
+    assert make_mesh(data=4, model=1).devices.size == 4
+    # ...but a DERIVED partial mesh (model=3 on 8 devices -> data=2, 6 of 8
+    # used) must raise instead of silently dropping devices
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(model=3)
 
 
 def test_dryrun_multichip_entrypoint():
