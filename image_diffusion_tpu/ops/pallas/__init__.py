@@ -15,10 +15,12 @@ in docs/attn_bwd_measurements_r2.json + docs/packed_maxc_r2.json):
     sites stay XLA where the grid overhead outweighs pad savings under
     autodiff.
 
-Trainers declare their context via `set_context("train")` (the pipeline
-sets "sample"); the env var IDTPU_PALLAS_ATTN=0/packed/1 overrides
-everything.  Kernels are validated against XLA references in
-tests/test_pallas.py.
+Trainers scope their traces with `with kernel_context(mode="train"):`
+(the pipeline uses mode="sample"); the env var IDTPU_PALLAS_ATTN=0/packed/1
+overrides everything.  The context lives in `contextvars.ContextVar`s, so a
+trainer thread tracing concurrently with a serving thread cannot race the
+mode (each thread sees its own value).  Kernels are validated against XLA
+references in tests/test_pallas.py.
 
 A fused GroupNorm+SiLU kernel was measured and DELETED: 21.7s vs 21.2s
 grid (sampling) and 104.8 vs 100.3 ms/step (training) — XLA's own fusion
@@ -28,7 +30,9 @@ shape profile changes the tradeoff.
 
 from __future__ import annotations
 
+import contextvars
 import os
+from contextlib import contextmanager
 
 from .attention import (
     attention,
@@ -45,30 +49,65 @@ __all__ = [
     "reference_packed_attention",
     "reference_attention",
     "attention_enabled",
+    "kernel_context",
     "set_context",
     "set_multichip_train",
 ]
 
-_CONTEXT = {"mode": "sample", "multichip_train": False}
+# Thread-safe trace-time context: ContextVars are per-thread (a fresh thread
+# starts from the defaults), so a trainer tracing in one thread cannot race a
+# serving thread's sampler trace.  `kernel_context` is the primary API; the
+# imperative setters remain for tests/REPL and mutate only the caller's
+# thread.
+_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "idtpu_kernel_mode", default="sample"
+)
+# multichip_train=True: the trace is a GSPMD-auto-sharded train step over a
+# >1-device mesh, which cannot partition Mosaic custom calls (pallas_call
+# requires Manual mesh axes) — attention kernels default OFF.  shard_map'd
+# steps scope it back to False for their trace.
+_MULTICHIP: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "idtpu_multichip_train", default=False
+)
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in ("sample", "train"):
+        raise ValueError(f"context must be 'sample' or 'train', got {mode!r}")
+
+
+@contextmanager
+def kernel_context(mode: str | None = None, multichip_train: bool | None = None):
+    """Scope the kernel-routing context for the traces inside the block.
+
+    Contexts pick measured kernel defaults (see attention_mode).  Only
+    affects traces that happen INSIDE the block; jit caches built earlier
+    keep their path.  Values reset on exit, and are visible only to the
+    current thread."""
+    tokens = []
+    if mode is not None:
+        _check_mode(mode)
+        tokens.append((_MODE, _MODE.set(mode)))
+    if multichip_train is not None:
+        tokens.append((_MULTICHIP, _MULTICHIP.set(bool(multichip_train))))
+    try:
+        yield
+    finally:
+        for var, tok in reversed(tokens):
+            var.reset(tok)
 
 
 def set_context(mode: str) -> None:
-    """Declare the tracing context (contexts pick measured kernel defaults).
-    Affects traces that happen AFTER the call; jit caches built earlier keep
-    their path."""
-    if mode not in ("sample", "train"):
-        raise ValueError(f"context must be 'sample' or 'train', got {mode!r}")
-    _CONTEXT["mode"] = mode
+    """Imperatively set the tracing context for the current thread (prefer
+    the scoped `kernel_context`)."""
+    _check_mode(mode)
+    _MODE.set(mode)
 
 
 def set_multichip_train(flag: bool) -> None:
-    """Trainers running data-parallel over a >1-device mesh declare it here:
-    their GSPMD-auto-sharded train step cannot partition Mosaic custom calls
-    (pallas_call requires Manual mesh axes), so the attention kernels default
-    OFF for multichip training until the step is shard_map'd (the sampling
-    path already is — pipelines/diffusion.py).  IDTPU_PALLAS_ATTN still
-    overrides for experimentation."""
-    _CONTEXT["multichip_train"] = bool(flag)
+    """Imperatively set the GSPMD-multichip-train flag for the current
+    thread (prefer the scoped `kernel_context`; see _MULTICHIP above)."""
+    _MULTICHIP.set(bool(flag))
 
 
 def attention_mode() -> str:
@@ -91,9 +130,9 @@ def attention_mode() -> str:
 
     if jax.default_backend() != "tpu":
         return "off"
-    if _CONTEXT["mode"] == "train":
-        # GSPMD cannot auto-partition Mosaic calls (see set_multichip_train)
-        return "off" if _CONTEXT["multichip_train"] else "packed"
+    if _MODE.get() == "train":
+        # GSPMD cannot auto-partition Mosaic calls (see _MULTICHIP above)
+        return "off" if _MULTICHIP.get() else "packed"
     return "all"
 
 
@@ -119,4 +158,4 @@ def packed_max_c() -> int:
     v = os.environ.get("IDTPU_PACKED_MAX_C")
     if v:
         return int(v)
-    return 256 if _CONTEXT["mode"] == "train" else 512
+    return 256 if _MODE.get() == "train" else 512

@@ -70,14 +70,30 @@ def _sample_loop(
     progress: bool = False,
     noise_batch: int | None = None,
     data_axis: str | None = None,
+    row_keys: jax.Array | None = None,
 ) -> jax.Array:
     B = x_init.shape[0]
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
 
     def step_noise(t, shape):
-        """Per-step gaussian noise; under shard_map (data_axis set) drawn in
-        GLOBAL batch shape and row-sliced, so multi-chip sampling is
+        """Per-step gaussian noise.
+
+        With `row_keys` (serving): row i's noise is normal(fold_in(
+        row_keys[i], t)) — a function of that row's key alone, so a
+        request's image is byte-identical regardless of what it was
+        co-batched with (and of sharding: per-row draws are layout-free).
+
+        Otherwise (grid semantics): one batch-shaped draw from fold_in(key,
+        t), matching the reference's batch-seeded sampling (reference
+        modules/diffusion.py:36-47); under shard_map (data_axis set) drawn
+        in GLOBAL batch shape and row-sliced, so multi-chip sampling is
         bit-identical to the single-device run (parallel/mesh.py helper)."""
+        if row_keys is not None:
+            return jax.vmap(
+                lambda k: jax.random.normal(
+                    jax.random.fold_in(k, t), shape[1:], jnp.float32
+                )
+            )(row_keys)
         from ..parallel.mesh import global_row_draw
 
         return global_row_draw(
@@ -200,6 +216,7 @@ class DiffusionPipeline:
         eta: float = 0.0,
         key=None,
         mesh=None,
+        row_keys=None,
     ) -> jax.Array:
         """Sample one explicit batch: per-row class labels, guidance scales,
         and initial latents -> (B, H, W, 3) images in [-1, 1].
@@ -211,59 +228,68 @@ class DiffusionPipeline:
         The programmatic per-request API (serving uses it: each row's label/
         scale/latent is independent, unlike the classes-x-scales grid that
         `sample` builds).  `x_init` rows fully determine the noise-free
-        samplers' outputs; the ancestral ddpm sampler additionally draws
-        per-step batch noise from `key`."""
+        samplers' outputs.  For the stochastic samplers (ddpm; ddim with
+        eta > 0) pass `row_keys` — a (B,) jax.random key array — and each
+        row's per-step noise derives from its own key alone, making every
+        row independent of its batch slot and co-batch; without it the
+        ancestral noise is one batch-shaped draw from `key` (grid
+        semantics)."""
         timesteps = None
         if sampler in ("ddim", "dpm"):
             n = num_inference_steps or (20 if sampler == "dpm" else 50)
             timesteps = S.make_timesteps(self.sched.num_steps, n)
         from ..ops import pallas as pk
 
-        pk.set_context("sample")
         x_init = jnp.asarray(x_init, jnp.float32)
         labels = jnp.asarray(labels, jnp.int32)
         scales = jnp.asarray(cfg_scales, jnp.float32)
         key = jax.random.key(0) if key is None else key
         quantize = self.vae_arch.bottleneck == "vq"
-        if mesh is not None:
-            B = x_init.shape[0]
-            if B % mesh.shape["data"] != 0:
-                raise ValueError(
-                    f"sample_batch over a mesh: the data axis "
-                    f"({mesh.shape['data']}) must divide the batch ({B})"
-                )
-            from ..parallel.mesh import batch_sharding, replicate
+        with pk.kernel_context(mode="sample"):
+            if mesh is not None:
+                B = x_init.shape[0]
+                if B % mesh.shape["data"] != 0:
+                    raise ValueError(
+                        f"sample_batch over a mesh: the data axis "
+                        f"({mesh.shape['data']}) must divide the batch ({B})"
+                    )
+                from ..parallel.mesh import batch_sharding, replicate
 
-            sh = batch_sharding(mesh)
-            return self._sharded_sample(
-                mesh,
-                replicate(mesh, self.unet_variables),
-                replicate(mesh, self.vae_variables),
-                jax.device_put(x_init, sh),
-                jax.device_put(labels, sh),
-                jax.device_put(scales, sh),
-                key, quantize, sampler, timesteps, eta, False, B,
+                sh = batch_sharding(mesh)
+                return self._sharded_sample(
+                    mesh,
+                    replicate(mesh, self.unet_variables),
+                    replicate(mesh, self.vae_variables),
+                    jax.device_put(x_init, sh),
+                    jax.device_put(labels, sh),
+                    jax.device_put(scales, sh),
+                    key, quantize, sampler, timesteps, eta, False, B,
+                    row_keys=(
+                        None if row_keys is None
+                        else jax.device_put(row_keys, sh)
+                    ),
+                )
+            return _sample_loop(
+                self.unet,
+                self.unet_variables,
+                self.vae,
+                self.vae_variables,
+                self.sched,
+                x_init,
+                labels,
+                scales,
+                key,
+                quantize,
+                sampler,
+                timesteps,
+                eta,
+                False,
+                row_keys=row_keys,
             )
-        return _sample_loop(
-            self.unet,
-            self.unet_variables,
-            self.vae,
-            self.vae_variables,
-            self.sched,
-            x_init,
-            labels,
-            scales,
-            key,
-            quantize,
-            sampler,
-            timesteps,
-            eta,
-            False,
-        )
 
     def _sharded_sample(self, mesh, unet_vars, vae_vars, x_init, labels,
                         scales, key1, quantize, sampler, timesteps, eta,
-                        progress, B_pad):
+                        progress, B_pad, row_keys=None):
         """Run the sampler per-shard under shard_map (Manual mesh axes — the
         layout the Pallas kernels require; GSPMD cannot auto-partition
         Mosaic custom calls).  Embarrassingly parallel over the image batch,
@@ -279,26 +305,45 @@ class DiffusionPipeline:
         cache_key = (
             mesh, sampler, eta, progress, quantize, B_pad,
             None if timesteps is None else tuple(timesteps.tolist()),
+            row_keys is not None,
         )
         with self._shard_cache_lock:
             fn = self._shard_sample_cache.get(cache_key)
             if fn is None:
-                def local_fn(uv, vv, x, lbl, s, k1):
-                    return _sample_loop(
-                        self.unet, uv, self.vae, vv, self.sched,
-                        x, lbl, s, k1, quantize, sampler, timesteps, eta,
-                        progress, noise_batch=B_pad, data_axis="data",
-                    )
+                if row_keys is None:
+                    def local_fn(uv, vv, x, lbl, s, k1):
+                        return _sample_loop(
+                            self.unet, uv, self.vae, vv, self.sched,
+                            x, lbl, s, k1, quantize, sampler, timesteps, eta,
+                            progress, noise_batch=B_pad, data_axis="data",
+                        )
+
+                    in_specs = (P(), P(), P("data"), P("data"), P("data"), P())
+                else:
+                    # per-row noise keys shard with their rows; draws are
+                    # per-row, hence layout-independent by construction
+                    def local_fn(uv, vv, x, lbl, s, k1, rk):
+                        return _sample_loop(
+                            self.unet, uv, self.vae, vv, self.sched,
+                            x, lbl, s, k1, quantize, sampler, timesteps, eta,
+                            progress, data_axis="data", row_keys=rk,
+                        )
+
+                    in_specs = (P(), P(), P("data"), P("data"), P("data"),
+                                P(), P("data"))
 
                 fn = jax.jit(
                     shard_map_compat(
                         local_fn, mesh,
-                        in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                        in_specs=in_specs,
                         out_specs=P("data"),
                     )
                 )
                 self._shard_sample_cache[cache_key] = fn
-        return fn(unet_vars, vae_vars, x_init, labels, scales, key1)
+        args = (unet_vars, vae_vars, x_init, labels, scales, key1)
+        if row_keys is not None:
+            args += (row_keys,)
+        return fn(*args)
 
     def sample(
         self,
@@ -368,7 +413,6 @@ class DiffusionPipeline:
 
         from ..ops import pallas as pk
 
-        pk.set_context("sample")  # Pallas attention default-on for inference
         global _PROGRESS_BAR
         if progress:
             from tqdm import tqdm
@@ -378,28 +422,30 @@ class DiffusionPipeline:
         try:
             key1 = jax.random.fold_in(key, 1)
             quantize = self.vae_arch.bottleneck == "vq"
-            if mesh is not None:
-                imgs = self._sharded_sample(
-                    mesh, unet_vars, vae_vars, x_init, labels, scales, key1,
-                    quantize, sampler, timesteps, eta, progress, B_pad,
-                )
-            else:
-                imgs = _sample_loop(
-                    self.unet,
-                    unet_vars,
-                    self.vae,
-                    vae_vars,
-                    self.sched,
-                    x_init,
-                    labels,
-                    scales,
-                    key1,
-                    quantize,
-                    sampler,
-                    timesteps,
-                    eta,
-                    progress,
-                )
+            # Pallas attention default-on for inference traces
+            with pk.kernel_context(mode="sample"):
+                if mesh is not None:
+                    imgs = self._sharded_sample(
+                        mesh, unet_vars, vae_vars, x_init, labels, scales, key1,
+                        quantize, sampler, timesteps, eta, progress, B_pad,
+                    )
+                else:
+                    imgs = _sample_loop(
+                        self.unet,
+                        unet_vars,
+                        self.vae,
+                        vae_vars,
+                        self.sched,
+                        x_init,
+                        labels,
+                        scales,
+                        key1,
+                        quantize,
+                        sampler,
+                        timesteps,
+                        eta,
+                        progress,
+                    )
             if progress:
                 imgs.block_until_ready()
         finally:

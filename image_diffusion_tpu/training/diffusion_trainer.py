@@ -184,8 +184,8 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
         # attention (fwd + bwd kernels; 42.9 vs 96.9 ms/step pure XLA)
         from ..ops import pallas as pk
 
-        pk.set_context("train")
-        return _train_step(state, x, c, rng)
+        with pk.kernel_context(mode="train"):
+            return _train_step(state, x, c, rng)
 
     return train_step
 
@@ -215,10 +215,6 @@ class DiffusionTrainer:
         self.mesh = mesh
         self.run_name = run_name
         self.param_sharding = param_sharding
-
-        from ..ops import pallas as pk
-
-        pk.set_multichip_train(mesh is not None and mesh.size > 1)
 
         self.model = build_unet(config.arch, dtype=config.train.compute_dtype)
         self.sched = S.make_schedule(
@@ -342,14 +338,11 @@ class DiffusionTrainer:
             def train_step(state, x, c, rng):
                 from ..ops import pallas as pk
 
-                pk.set_context("train")
-                # kernels are shard_map-safe for THIS trace only; scoped so
-                # a coexisting GSPMD trainer keeps its protection
-                pk.set_multichip_train(False)
-                try:
+                # the shard_map body runs under Manual mesh axes, so the
+                # kernels ARE safe for this trace: scope multichip_train
+                # back off (the scoped value never leaks to other traces)
+                with pk.kernel_context(mode="train", multichip_train=False):
                     return jitted(state, x, c, rng)
-                finally:
-                    pk.set_multichip_train(True)
 
             self.train_step = train_step
         else:
@@ -359,10 +352,10 @@ class DiffusionTrainer:
             def train_step(state, x, c, rng, _step=base_step, _mc=multichip):
                 from ..ops import pallas as pk
 
-                # assert THIS trainer's gating at every call: construction
-                # order of multiple trainers must not leak a stale flag
-                pk.set_multichip_train(_mc)
-                return _step(state, x, c, rng)
+                # scope THIS trainer's gating around every call: its GSPMD
+                # step cannot partition Mosaic custom calls on >1 devices
+                with pk.kernel_context(mode="train", multichip_train=_mc):
+                    return _step(state, x, c, rng)
 
             self.train_step = train_step
 

@@ -336,8 +336,8 @@ def make_vae_train_step(
         # (lane-packed Pallas fwd+bwd for C <= 128; see ops/pallas)
         from ..ops import pallas as pk
 
-        pk.set_context("train")
-        return _train_step(state, x_u8, rng, disc_active=disc_active)
+        with pk.kernel_context(mode="train"):
+            return _train_step(state, x_u8, rng, disc_active=disc_active)
 
     return train_step
 
@@ -401,10 +401,6 @@ class VAETrainer:
         self.mesh = mesh
         self.run_name = run_name
         self.fid_fn = fid_fn
-
-        from ..ops import pallas as pk
-
-        pk.set_multichip_train(mesh is not None and mesh.size > 1)
 
         dtype = config.train.compute_dtype
         self.vae = build_vae(config.arch, dtype=dtype)
@@ -472,14 +468,22 @@ class VAETrainer:
         def _train_step(*args, **kwargs):
             from ..ops import pallas as pk
 
-            # assert THIS trainer's kernel gating at every call (its GSPMD
-            # step cannot partition Mosaic custom calls on >1 devices);
-            # construction order of multiple trainers must not leak a flag
-            pk.set_multichip_train(_multichip)
-            return _base_step(*args, **kwargs)
+            # scope THIS trainer's kernel gating around every call (its
+            # GSPMD step cannot partition Mosaic custom calls on >1 devices)
+            with pk.kernel_context(multichip_train=_multichip):
+                return _base_step(*args, **kwargs)
 
         self.train_step = _train_step
-        self.eval_step = make_eval_step(self.vae, self.disc, config, percept_fn)
+        _base_eval = make_eval_step(self.vae, self.disc, config, percept_fn)
+
+        def _eval_step(*args, **kwargs):
+            from ..ops import pallas as pk
+
+            # dev eval is GSPMD-sharded like the train step: same gating
+            with pk.kernel_context(mode="train", multichip_train=_multichip):
+                return _base_eval(*args, **kwargs)
+
+        self.eval_step = _eval_step
 
         # fixed plot set for periodic reconstruction figures
         # (reference trainers/vae_trainer.py:214-225)

@@ -95,6 +95,46 @@ def test_attention_mode_defaults_and_override(monkeypatch):
         pk.set_context("sample")
 
 
+def test_kernel_context_scoped_and_thread_isolated(monkeypatch):
+    """kernel_context scopes the routing mode (reset on exit) and other
+    threads never observe it — a trainer thread tracing concurrently with a
+    serving thread cannot race the mode."""
+    import threading
+
+    from image_diffusion_tpu.ops import pallas as pk
+
+    monkeypatch.delenv("IDTPU_PALLAS_ATTN", raising=False)
+    monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    assert pk.attention_mode() == "all"  # ambient default: sample mode
+    with pk.kernel_context(mode="train"):
+        assert pk.attention_mode() == "packed"
+        assert pk.packed_max_c() == 256
+        with pk.kernel_context(multichip_train=True):
+            assert pk.attention_mode() == "off"
+        assert pk.attention_mode() == "packed"  # inner scope reset
+
+        # another thread entered while THIS thread is mid-"train" still
+        # sees its own default ("sample" -> "all")
+        seen = {}
+
+        def probe():
+            # jax.default_backend is module-patched above, visible here too
+            seen["mode"] = pk.attention_mode()
+            seen["max_c"] = pk.packed_max_c()
+
+        t = threading.Thread(target=probe)
+        t.start()
+        t.join()
+        assert seen == {"mode": "all", "max_c": 512}
+    assert pk.attention_mode() == "all"  # outer scope reset
+
+    with pytest.raises(ValueError):
+        with pk.kernel_context(mode="serve"):
+            pass
+
+
 @pytest.mark.parametrize(
     "n,heads,c",
     [(1024, 8, 128), (64, 4, 64), (16, 2, 128),

@@ -54,11 +54,7 @@ def _post(url, payload, timeout=120):
         return r.status, r.read(), r.headers.get("Content-Type")
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
-    d = tmp_path_factory.mktemp("serve")
-    bundle = str(d / "bundle.ckpt")
-
+def _write_bundle(bundle: str) -> None:
     vae = build_vae(VAE_TINY, dtype=jnp.float32)
     unet = build_unet(UNET_TINY, dtype=jnp.float32)
     vae_vars = jax.jit(
@@ -77,6 +73,13 @@ def server(tmp_path_factory):
         VAE_TINY, vae_vars, UNET_TINY, unet_vars, ScheduleConfig(num_steps=20),
         ["a hot place", "a cold place", "a mild place"], dtype=jnp.float32,
     ).to_checkpoint(bundle)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    bundle = str(d / "bundle.ckpt")
+    _write_bundle(bundle)
 
     port = _free_port()
     env = dict(os.environ)
@@ -158,6 +161,39 @@ def test_class_by_name_and_concurrent_batching(server):
     # 3 concurrent requests into a batch-2 server: at most 3 batches total
     # served so far proves padding/micro-batching didn't wedge
     assert stats["requests"] >= 3
+
+
+def test_ddpm_request_independent_of_batch_slot(tmp_path):
+    """The ancestral ddpm sampler is stochastic per step; serving derives
+    each row's noise from its request seed (per-row keys folded per
+    timestep), so a request's image is byte-identical whether it runs
+    alone, co-batched, or in a different batch slot."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", os.path.join(REPO, "scripts", "serve.py")
+    )
+    serve_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_mod)
+
+    bundle = str(tmp_path / "bundle.ckpt")
+    _write_bundle(bundle)
+    args = argparse.Namespace(
+        model=bundle, host="127.0.0.1", port=0, batch_size=2, linger_ms=1.0,
+        sampler="ddpm", steps=4, eta=0.0, data_parallel=None, use_cpu=True,
+    )
+    engine = serve_mod.Engine(args)
+
+    # request (seed=7, class=1, cfg=2.5) in slot 0 padded with the default
+    # pad row vs in slot 1 next to a completely different request
+    alone = np.asarray(engine._run([7, 0], [1, 0], [2.5, 1.0]))[0]
+    cobatched = np.asarray(engine._run([3, 7], [2, 1], [9.0, 2.5]))[1]
+    np.testing.assert_array_equal(alone, cobatched)
+
+    # and distinct seeds in the same slot produce distinct images
+    other = np.asarray(engine._run([8, 0], [1, 0], [2.5, 1.0]))[0]
+    assert np.any(alone != other)
 
 
 def test_bad_requests(server):
