@@ -78,10 +78,17 @@ def main():
     logging.info("Ingesting real features...")
     real = np.load(args.real, mmap_mode="r")
     n_real = min(len(real), args.max_real)  # honor the cap EXACTLY
-    for i in range(0, n_real, 256):
-        fid.update_real_once(
-            np.asarray(real[i : min(i + 256, n_real)], np.float32) / 255.0
-        )
+    chunk_size = min(256, n_real)
+    for i in range(0, n_real, chunk_size):
+        chunk = np.asarray(real[i : min(i + chunk_size, n_real)], np.float32) / 255.0
+        n_valid = len(chunk)
+        if n_valid < chunk_size:
+            # pad-and-mask the tail so ONE compiled feature executable
+            # serves the whole ingest (the repo's static-shape discipline;
+            # update_real_once drops the pad rows via n_valid)
+            pad = np.zeros((chunk_size - n_valid, *chunk.shape[1:]), np.float32)
+            chunk = np.concatenate([chunk, pad])
+        fid.update_real_once(chunk, n_valid=n_valid)
 
     logging.info(f"Sampling {args.num_images} images ({args.sampler}, {args.steps} steps)...")
     t0 = time.time()
