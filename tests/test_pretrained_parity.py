@@ -61,6 +61,76 @@ def test_lpips_identity_is_zero():
     assert float(jax.jit(model)(x, x)) == pytest.approx(0.0, abs=1e-7)
 
 
+def test_lpips_package_layout_imports_identically():
+    """The published lpips-package file ('vgg.pth' wrapped in LPIPS(net='vgg'))
+    names the 13 convs 'net.slice{1..5}.{torchvision-global-idx}.weight' (the
+    package's vgg16 wrapper preserves torchvision feature indices inside each
+    slice Sequential) and the heads 'lin{i}.model.1.weight' with shape
+    (1, C, 1, 1).  Re-key the oracle state into that exact layout and assert
+    the importer builds the identical module."""
+    from torch_oracles import VGG16_CONV_IDX, _VGG16_STAGES
+
+    state = random_lpips_state(seed=7)
+
+    # stage -> slice number; conv idx stays the torchvision global index
+    pkg: dict[str, np.ndarray] = {}
+    k = 0
+    for stage, (_, n_convs) in enumerate(_VGG16_STAGES):
+        for _ in range(n_convs):
+            idx = VGG16_CONV_IDX[k]
+            pkg[f"net.slice{stage + 1}.{idx}.weight"] = state[f"features.{idx}.weight"]
+            pkg[f"net.slice{stage + 1}.{idx}.bias"] = state[f"features.{idx}.bias"]
+            k += 1
+    for i in range(5):
+        pkg[f"lin{i}.model.1.weight"] = state[f"lin.{i}.weight"].reshape(1, -1, 1, 1)
+
+    canonical = LPIPS.from_state_dict(state)
+    from_pkg = LPIPS.from_state_dict(pkg)
+
+    for (w1, b1), (w2, b2) in zip(canonical.conv_params, from_pkg.conv_params):
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    for l1, l2 in zip(canonical.lin_weights, from_pkg.lin_weights):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    x = np.random.default_rng(1).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    y = np.random.default_rng(2).uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    assert float(from_pkg(x, y)) == pytest.approx(float(canonical(x, y)), rel=0, abs=0)
+
+
+def test_inception_published_file_layout_imports_identically():
+    """pt_inception-2015-12-05.pth is a state dict of pytorch-fid's
+    FIDInceptionV3 — a torchvision Inception3 subclass, so its keys are the
+    torchvision names the oracle already uses PLUS the classifier entries
+    (fc.*, 1008-way) and AuxLogits.*, and bn num_batches_tracked counters.
+    The importer must skip the extras and produce the identical variables."""
+    oracle = random_inception(seed=11)
+    state = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    # the oracle's BatchNorm2d modules track stats, so the counters are
+    # already present — published-file shape
+    assert any(k.endswith("num_batches_tracked") for k in state)
+    assert "Mixed_7c.branch_pool.bn.running_var" in state
+    assert "Conv2d_1a_3x3.conv.weight" in state
+
+    published = dict(state)
+    rng = np.random.default_rng(0)
+    published["fc.weight"] = rng.normal(0, 0.01, (1008, 2048)).astype(np.float32)
+    published["fc.bias"] = np.zeros((1008,), np.float32)
+    published["AuxLogits.conv0.conv.weight"] = rng.normal(
+        0, 0.01, (128, 768, 1, 1)
+    ).astype(np.float32)
+    published["AuxLogits.conv0.bn.weight"] = np.ones((128,), np.float32)
+
+    v1 = import_inception(state)
+    v2 = import_inception(published)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v1, v2,
+    )
+    # identical STRUCTURE too (the extras created no stray collections)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+
+
 @pytest.mark.slow
 def test_inception_matches_torch_oracle():
     """299x299 input: pure network parity (no resize in play)."""
