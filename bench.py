@@ -38,6 +38,109 @@ def wait(x):
     return np.asarray(x)
 
 
+def kernel_check() -> dict:
+    """On-hardware numerical validation of every Pallas kernel the bench
+    workloads route through, against the XLA reference implementations on
+    the SAME bf16 inputs — forward at all four UNet ladder sites (N=1024/
+    256/64/16 x C=128/256/384/512, 8 heads) plus the blockwise flash
+    kernel, and the packed BACKWARD (dq/dk/dv) at the narrow and wide ends.
+
+    Emits one JSON line: value = worst max-abs-diff normalized by each
+    comparison's output scale, vs_baseline = value / tolerance (pass < 1).
+    Makes kernel parity a driver-captured artifact instead of a manual run.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_diffusion_tpu.ops.pallas import (
+        attention,
+        packed_attention,
+        reference_attention,
+        reference_packed_attention,
+    )
+
+    rng = np.random.default_rng(42)
+    results = {}
+
+    def rel_max_diff(got, want):
+        got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+        return float(np.abs(got - want).max() / max(np.abs(want).max(), 1e-6))
+
+    # forward: the full UNet attention ladder (batch like the sampler's 2x27)
+    for N, C in ((1024, 128), (256, 256), (64, 384), (16, 512)):
+        h = 8
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 1, (8, N, C)), jnp.bfloat16) for _ in range(3)
+        )
+        got = jax.jit(lambda q, k, v: packed_attention(q, k, v, num_heads=h))(q, k, v)
+        want = jax.jit(
+            lambda q, k, v: reference_packed_attention(
+                q, k, v, h, 1.0 / (C // h) ** 0.5
+            )
+        )(q, k, v)
+        results[f"packed_fwd_N{N}_C{C}"] = rel_max_diff(wait(got), wait(want))
+
+    # packed backward at the narrow and wide ladder ends
+    for N, C in ((1024, 128), (16, 512)):
+        h = 8
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 1, (4, N, C)), jnp.bfloat16) for _ in range(3)
+        )
+        g_got = jax.jit(
+            jax.grad(
+                lambda q, k, v: jnp.sum(
+                    packed_attention(q, k, v, num_heads=h).astype(jnp.float32) ** 2
+                ),
+                argnums=(0, 1, 2),
+            )
+        )(q, k, v)
+        g_want = jax.jit(
+            jax.grad(
+                lambda q, k, v: jnp.sum(
+                    reference_packed_attention(
+                        q, k, v, h, 1.0 / (C // h) ** 0.5
+                    ).astype(jnp.float32) ** 2
+                ),
+                argnums=(0, 1, 2),
+            )
+        )(q, k, v)
+        results[f"packed_bwd_N{N}_C{C}"] = max(
+            rel_max_diff(wait(a), wait(b)) for a, b in zip(g_got, g_want)
+        )
+
+    # blockwise flash kernel (the growth path beyond the packed ceiling)
+    B, H, N, D = 4, 8, 1024, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(0, 1, (B, H, N, D)), jnp.bfloat16) for _ in range(3)
+    )
+    got = jax.jit(lambda q, k, v: attention(q, k, v, head_dim=D))(q, k, v)
+    want = jax.jit(lambda q, k, v: reference_attention(q, k, v, 1.0 / D**0.5))(q, k, v)
+    results["flash_fwd_N1024_D16"] = rel_max_diff(wait(got), wait(want))
+
+    worst = max(results.values())
+    # bf16 kernels vs bf16 XLA reference: same-precision paths agree to a
+    # few bf16 ulps; 2e-2 relative flags a genuinely wrong kernel while
+    # tolerating accumulation-order noise
+    tol = 2e-2
+    print(
+        json.dumps(
+            {
+                "metric": "pallas_kernel_max_rel_diff",
+                "value": float(f"{worst:.3e}"),
+                "unit": "max|diff|/scale vs XLA on-chip",
+                "vs_baseline": round(worst / tol, 4),
+            }
+        )
+    )
+    for name, val in sorted(results.items()):
+        print(f"[bench --check] {name}: {val:.3e}", file=sys.stderr)
+    if worst > tol:
+        print(f"[bench --check] FAIL: {worst:.3e} > tol {tol}", file=sys.stderr)
+        sys.exit(1)
+    return results
+
+
 def main():
     from image_diffusion_tpu.core.config import ScheduleConfig, UNetArch, VAEArch
     from image_diffusion_tpu.models import build_unet, build_vae
@@ -157,4 +260,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        kernel_check()
+    else:
+        # kernel parity first, as a driver-captured artifact on every bench
+        # run (fast small compiles; exits nonzero on kernel divergence so a
+        # perf number can never ship on top of a wrong kernel)
+        kernel_check()
+        main()

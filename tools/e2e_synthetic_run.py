@@ -15,8 +15,20 @@ learns class-conditional generation at full model size on a real chip:
      anisotropy r = mean|dI/dx| / (mean|dI/dx| + mean|dI/dy|):
      class 0 -> r near 0, class 1 -> r near 1, class 2 -> r near 0.5.
 
-Writes a JSON report (accuracy per class, losses) and the sampled grid.
-Pass/fail: conditional accuracy >= 0.8 overall at the default budget.
+  5. Compute a GENERATIVE FID through the full stack on chip — sample a
+     batch of images, extract InceptionV3 pool3 features, Frechet distance
+     against a held-out synthetic dev set (the metric the reference
+     explicitly could not measure: "sampling too slow",
+     reference README.md:42).  Weights come from --fid-weights, or a
+     random-init oracle-layout InceptionV3 file is generated (same
+     published pt_inception key naming; random features still demand the
+     whole sampling -> features -> Frechet machinery and give a finite,
+     reproducible number).  The bundle + dev set + weights are left in
+     --out so scripts/eval_fid.py can reproduce the number standalone.
+
+Writes a JSON report (accuracy per class, losses, FID) and the sampled
+grid.  Pass/fail: conditional accuracy >= 0.8 overall at the default
+budget.
 
     python tools/e2e_synthetic_run.py --out /tmp/e2e --vae-steps 1000 \
         --unet-steps 5000
@@ -84,6 +96,12 @@ def main():
     p.add_argument("--unet-steps", type=int, default=5000)
     p.add_argument("--cfg-scale", type=float, default=3.0)
     p.add_argument("--sample-per-class", type=int, default=9)
+    p.add_argument("--fid-weights", type=str, default=None,
+                   help="InceptionV3 weight file; generated (random oracle "
+                        "layout) when omitted.")
+    p.add_argument("--fid-images", type=int, default=270,
+                   help="Generated images for the FID estimate (0 disables).")
+    p.add_argument("--fid-steps", type=int, default=50, help="DDIM steps for FID sampling.")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -197,7 +215,6 @@ def main():
     per_class = {c: float(np.mean(got[want == c] == c)) for c in range(3)}
     report["cond_accuracy"] = acc
     report["cond_accuracy_per_class"] = per_class
-    report["wall_s"] = round(time.time() - t_all, 1)
     print(f"[sample] conditional accuracy {acc:.2f} per-class {per_class}", flush=True)
 
     from image_diffusion_tpu.core.plotting import plot_cfg_grid
@@ -205,6 +222,58 @@ def main():
                         [args.cfg_scale] * args.sample_per_class)
     fig.savefig(os.path.join(args.out, "e2e_grid.png"), bbox_inches="tight")
 
+    # ---- 6. generative FID on chip (sampling -> features -> Frechet) ----
+    if args.fid_images > 0:
+        from image_diffusion_tpu.models.fid import FID
+        from image_diffusion_tpu.models.inception import try_load_inception_fid
+
+        weights = args.fid_weights
+        if weights is None:
+            # oracle-layout random InceptionV3 (published pt_inception key
+            # naming incl. bn running stats); saved for standalone
+            # scripts/eval_fid.py reproduction
+            import torch
+
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+            from torch_oracles import random_inception
+
+            weights = os.path.join(args.out, "inception_oracle.pt")
+            torch.save(random_inception(seed=11).state_dict(), weights)
+        feature_fn = try_load_inception_fid(weights)
+        assert feature_fn is not None, f"could not load FID weights {weights}"
+        fid = FID(feature_fn, dim=2048)
+
+        # held-out dev set: fresh draws from the same generative process
+        dev_imgs, _ = make_dataset(max(args.fid_images // 3, 90), seed=777)
+        np.save(os.path.join(args.out, "e2e_dev.npy"), dev_imgs)
+        for i in range(0, len(dev_imgs), 90):
+            chunk = dev_imgs[i : i + 90]
+            if len(chunk) == 90:  # static shape; synthetic count is a multiple
+                fid.update_real_once(chunk.astype(np.float32) / 255.0)
+
+        pipe.to_checkpoint(os.path.join(args.out, "e2e_bundle.ckpt"))
+        t0 = time.time()
+        done, seed = 0, 1000
+        per_call = 30  # 3 classes x 10
+        while done < args.fid_images:
+            fimgs = np.asarray(pipe.sample(
+                [args.cfg_scale] * (per_call // 3), seed=seed,
+                sampler="ddim", num_inference_steps=args.fid_steps,
+            ))
+            take = min(len(fimgs), args.fid_images - done)
+            fid.update_fake(((fimgs[:take] + 1.0) / 2.0).clip(0, 1))
+            done += take
+            seed += 1
+        fid_dt = time.time() - t0
+        report["generative_fid"] = round(float(fid.compute()), 3)
+        report["fid_images"] = done
+        report["fid_sampler"] = f"ddim-{args.fid_steps}"
+        report["fid_img_per_sec"] = round(done / fid_dt, 2)
+        report["fid_weights"] = os.path.basename(weights)
+        print(f"[fid] generative FID {report['generative_fid']} over {done} "
+              f"images ({report['fid_img_per_sec']} img/s)", flush=True)
+
+    report["wall_s"] = round(time.time() - t_all, 1)
     with open(os.path.join(args.out, "e2e_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""MFU (model FLOPs utilization) for the two headline workloads:
+
+  1. the full-size stage-2 UNet train step (batch 48, bf16) — the dominant
+     ~220k-step workload (reference trainers/diffusion_trainer.py:118-123),
+  2. the 27-image 1000-step CFG sampling grid (the north-star path).
+
+Method: compiled cost analysis (XLA's own FLOP count for the exact
+executable, the same technique behind the VAE-GAN step's MFU claim in
+training/vae_trainer.py) divided by measured wall time x peak bf16 FLOP/s.
+Also reports the HBM-bytes roofline bound so compute- vs memory-bound is
+explicit.  Optionally captures a jax.profiler trace per workload for
+tools/analyze_trace.py hotspot breakdowns.
+
+    python tools/measure_mfu.py --out docs/mfu_r3.json [--trace /tmp/tr]
+
+Timing uses device->host transfers as the completion barrier
+(jax.block_until_ready does not block on the axon platform).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# TPU v5e (v5 lite): peak dense bf16 matmul throughput and HBM bandwidth
+PEAK_BF16_FLOPS = 197e12
+HBM_BYTES_PER_S = 819e9
+
+
+def wait(x):
+    return np.asarray(x)
+
+
+def cost_of(lowered):
+    c = lowered.compile().cost_analysis()
+    if isinstance(c, (list, tuple)):  # older jax returns [dict]
+        c = c[0]
+    return float(c.get("flops", -1)), float(c.get("bytes accessed", -1))
+
+
+def measure(fn, args, iters, warmup=3, probe=lambda r: r):
+    for _ in range(warmup):
+        r = fn(*args)
+    wait(probe(r))
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+    wait(probe(r))
+    return (time.time() - t0) / iters
+
+
+def train_step_mfu(trace_dir=None):
+    import jax
+    import jax.numpy as jnp
+
+    from image_diffusion_tpu.core.config import UNetArch
+    from image_diffusion_tpu.models import build_unet
+    from image_diffusion_tpu.ops import schedule as S
+    from image_diffusion_tpu.training.diffusion_trainer import (
+        EMATrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    arch = UNetArch()
+    model = build_unet(arch, dtype=jnp.bfloat16)
+    sched = S.make_schedule(1000, 1e-4, 0.02, "linear")
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    state = EMATrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(5e-5, 500, 1.0), ema_params=None,
+    )
+    step = make_train_step(model, sched, 0.15, reparametrize=True)
+
+    batch = 48
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 6)).astype(np.float16))
+    c = jnp.asarray(rng.integers(0, 3, (batch,)).astype(np.uint8))
+    key = jax.random.key(1)
+
+    # the jitted step is make_train_step's inner _train_step; lower the
+    # public wrapper through jax.jit for an identical executable
+    from image_diffusion_tpu.ops import pallas as pk
+
+    with pk.kernel_context(mode="train"):
+        flops, bytes_ = cost_of(jax.jit(lambda s, x, c, k: step(s, x, c, k)).lower(state, x, c, key))
+
+    def run(s, x, c, k):
+        ns, m = step(s, x, c, k)
+        return m["unet/loss"]
+
+    dt = measure(run, (state, x, c, key), iters=20)
+    if trace_dir:
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            for _ in range(5):
+                r = run(state, x, c, key)
+            wait(r)
+
+    return {
+        "workload": "unet_train_step_b48_bf16",
+        "step_ms": round(dt * 1e3, 2),
+        "compiled_tflops_per_step": round(flops / 1e12, 3),
+        "compiled_gbytes_per_step": round(bytes_ / 1e9, 3),
+        "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        "hbm_roofline_ms": round(1e3 * bytes_ / HBM_BYTES_PER_S, 2),
+        "samples_per_sec": round(48 / dt, 1),
+    }
+
+
+def sampler_mfu(trace_dir=None):
+    import jax
+    import jax.numpy as jnp
+
+    from image_diffusion_tpu.core.config import ScheduleConfig, UNetArch, VAEArch
+    from image_diffusion_tpu.models import build_unet, build_vae
+    from image_diffusion_tpu.pipelines.diffusion import DiffusionPipeline, _sample_loop
+
+    vae = build_vae(VAEArch(), dtype=jnp.bfloat16)
+    unet = build_unet(UNetArch(), dtype=jnp.bfloat16)
+    vae_vars = vae.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 128, 128, 3), jnp.float32),
+    )
+    unet_vars = unet.init(
+        jax.random.key(2), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    pipe = DiffusionPipeline(
+        VAEArch(), vae_vars, UNetArch(), unet_vars, ScheduleConfig(),
+        ["a hot place", "a cold place", "a mild place"],
+    )
+    cfg_scales = list(range(1, 10))  # 27-image grid
+    B = 27
+    key = jax.random.key(0)
+    x_init = jax.random.normal(key, (B, *pipe.latent_shape), jnp.float32)
+    labels = jnp.tile(jnp.arange(3, dtype=jnp.int32), 9)
+    scales = jnp.repeat(jnp.asarray(cfg_scales, jnp.float32), 3)
+
+    from image_diffusion_tpu.ops import pallas as pk
+
+    with pk.kernel_context(mode="sample"):
+        args = (pipe.unet, pipe.unet_variables, pipe.vae, pipe.vae_variables,
+                pipe.sched, x_init, labels, scales, jax.random.fold_in(key, 1),
+                False)
+        flops, bytes_ = cost_of(_sample_loop.lower(*args))
+        dt = measure(lambda: _sample_loop(*args), (), iters=2, warmup=1)
+        if trace_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(trace_dir):
+                wait(_sample_loop(*args))
+
+    return {
+        "workload": "cfg_grid_27img_1000step_ddpm",
+        "wall_s": round(dt, 3),
+        "compiled_tflops": round(flops / 1e12, 2),
+        "compiled_gbytes": round(bytes_ / 1e9, 2),
+        "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        "hbm_roofline_s": round(bytes_ / HBM_BYTES_PER_S, 3),
+        "img_per_sec": round(27 / dt, 3),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--trace", default=None, help="Base dir for profiler traces.")
+    p.add_argument("--only", choices=["train", "sample"], default=None)
+    args = p.parse_args()
+
+    results = {}
+    if args.only in (None, "train"):
+        results["train"] = train_step_mfu(
+            trace_dir=args.trace and os.path.join(args.trace, "train"))
+        print(json.dumps(results["train"]), flush=True)
+    if args.only in (None, "sample"):
+        results["sample"] = sampler_mfu(
+            trace_dir=args.trace and os.path.join(args.trace, "sample"))
+        print(json.dumps(results["sample"]), flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
