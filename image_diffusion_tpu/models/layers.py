@@ -240,12 +240,11 @@ class SpatialSelfAttention(nn.Module):
 
         # Pallas kernels compute in bf16 (the packed kernel hard-casts k/v);
         # the documented fp32 verification mode (<=1e-4 parity) must stay on
-        # the XLA einsum path, so gate on the compute dtype too.  The mode
-        # ("off"/"packed"/"all") carries the measured per-context defaults.
-        mode = pk.attention_mode() if kv is None and self.dtype == jnp.bfloat16 else "off"
-        packed_ok = C <= pk.packed_max_c()
-        use_pallas = mode == "all" or (mode == "packed" and packed_ok)
-        if use_pallas and packed_ok:
+        # the XLA einsum path, so gate on the compute dtype too.  site_route
+        # carries the measured per-context defaults per channel count.
+        route = (pk.site_route(C, self.num_heads)
+                 if kv is None and self.dtype == jnp.bfloat16 else "xla")
+        if route == "packed":
             # lane-packed kernel: no head-dim padding, no head transposes.
             # Covers the whole channel ladder up to packed_max_c() — the
             # 1024-token C=128 site runs at ~85% MXU roofline and the short
@@ -259,7 +258,7 @@ class SpatialSelfAttention(nn.Module):
                 return t.reshape(B, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
             qh, kh, vh = split(q), split(k), split(v)
-            if use_pallas:
+            if route == "flash":
                 ah = pk.attention(qh, kh, vh, head_dim=head_dim)
             else:
                 prec = prec_for(self.dtype)

@@ -52,6 +52,7 @@ __all__ = [
     "kernel_context",
     "set_context",
     "set_multichip_train",
+    "site_route",
 ]
 
 # Thread-safe trace-time context: ContextVars are per-thread (a fresh thread
@@ -139,6 +140,33 @@ def attention_mode() -> str:
 def attention_enabled() -> bool:
     """True when any Pallas attention kernel is in play (see attention_mode)."""
     return attention_mode() != "off"
+
+
+def site_route(C: int, num_heads: int) -> str:
+    """Per-attention-site kernel routing under the current context:
+    "packed" (lane-packed kernel), "flash" (blockwise kernel), or "xla".
+
+    Besides the packed_max_c ceiling, IDTPU_PACKED_REQUIRE_GROUPED=1
+    additionally excludes sites whose heads do NOT tile the 128-lane
+    contraction group (group width != 128 for C > 128): those pay
+    full-C-lane masked matmuls (e.g. C=384 with d=48 does 3x the MXU work
+    of a grouped site) and route to XLA instead."""
+    mode = attention_mode()
+    if mode == "off":
+        return "xla"
+    if C <= packed_max_c():
+        if _site_grouping_ok(C, num_heads):
+            return "packed"
+        return "xla"  # ungrouped exclusion: padded XLA einsum, not flash
+    return "flash" if mode == "all" else "xla"
+
+
+def _site_grouping_ok(C: int, num_heads: int) -> bool:
+    if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED") != "1" or C <= 128:
+        return True
+    from .attention import _group_width
+
+    return _group_width(C, C // num_heads) == 128
 
 
 def packed_max_c() -> int:

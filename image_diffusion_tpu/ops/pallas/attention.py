@@ -136,11 +136,15 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     packed output directly.  No head-dim padding (the profiler showed the
     pad inflating attention IO 8x for d=16) and no (B,N,h,d)->(B,h,N,d)
     transposes.
+
+    The Q-row axis may be blocked (grid axis 1): q_ref/o_ref then hold a
+    (block_q, C) row slab while k/v stay full — same math (full-KV softmax
+    per row), smaller VMEM score matrices at N=1024.
     """
-    q = q_ref[0].astype(jnp.float32) * scale  # (N, C)
-    k = k_ref[0].astype(jnp.bfloat16)
+    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, C)
+    k = k_ref[0].astype(jnp.bfloat16)         # (N, C)
     v = v_ref[0].astype(jnp.bfloat16)
-    N, C = q.shape
+    Bq, C = q.shape
     d = C // num_heads
     gw = _group_width(C, d)
     hpg = gw // d  # heads per group
@@ -149,13 +153,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     for g in range(C // gw):
         sl = slice(g * gw, (g + 1) * gw)
         qg, kg, vg = q[:, sl], k[:, sl], v[:, sl]
-        acc = jnp.zeros((N, gw), jnp.float32)
+        acc = jnp.zeros((Bq, gw), jnp.float32)
         for h in range(hpg):
             mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, gw)
             qh = (qg * mask).astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (N, N)
+            )  # (Bq, N)
             p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
             vh = vg * mask
             acc = acc + jax.lax.dot_general(
@@ -175,19 +179,36 @@ def packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
     return _packed_forward(q, k, v, num_heads, scale, interpret)
 
 
+def _fwd_block_q(N: int) -> int:
+    """Q-row block for the packed FORWARD.  0 = whole-N blocks (the r2
+    baseline).  Experimental env IDTPU_PACKED_BLOCK_Q sets a row-block
+    size; blocks only apply when they divide N and actually split it."""
+    import os
+
+    v = int(os.environ.get("IDTPU_PACKED_BLOCK_Q", "0") or 0)
+    if v and N % v == 0 and v < N:
+        return v
+    return 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     B, N, C = q.shape
+    bq = _fwd_block_q(N)
+    kernel = functools.partial(_packed_kernel, num_heads=num_heads, scale=scale)
+    full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
+    if bq:
+        qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        grid = (B, N // bq)
+    else:
+        qspec = full
+        grid = (B,)
     return pl.pallas_call(
-        functools.partial(_packed_kernel, num_heads=num_heads, scale=scale),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[qspec, full, full],
+        out_specs=qspec,
         interpret=interpret,
     )(q, k, v)
 

@@ -187,6 +187,9 @@ def make_train_step(unet_model, sched: S.Schedule, cond_drop_prob: float,
         with pk.kernel_context(mode="train"):
             return _train_step(state, x, c, rng)
 
+    # the exact jitted executable, for AOT lowering / cost analysis
+    # (tools/measure_mfu.py) without wrapping in a second jit
+    train_step.jitted = _train_step
     return train_step
 
 

@@ -162,6 +162,50 @@ def test_packed_attention_matches_reference(n, heads, c):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
 
 
+def test_packed_forward_q_blocking_matches_unblocked(monkeypatch):
+    """IDTPU_PACKED_BLOCK_Q row-blocks the packed forward grid; the math
+    (full-KV softmax per row) is identical, so outputs must match the
+    unblocked kernel exactly in interpret mode."""
+    from image_diffusion_tpu.ops.pallas.attention import _packed_forward
+
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (2, 64, 32), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, 32), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 32), jnp.float32)
+    scale = 1.0 / np.sqrt(16)
+
+    monkeypatch.delenv("IDTPU_PACKED_BLOCK_Q", raising=False)
+    base = np.asarray(_packed_forward(q, k, v, 2, scale, True))
+    monkeypatch.setenv("IDTPU_PACKED_BLOCK_Q", "16")
+    blocked = np.asarray(_packed_forward(q, k, v, 2, scale, True))
+    np.testing.assert_array_equal(base, blocked)
+    # non-dividing block size falls back to unblocked
+    monkeypatch.setenv("IDTPU_PACKED_BLOCK_Q", "48")
+    fallback = np.asarray(_packed_forward(q, k, v, 2, scale, True))
+    np.testing.assert_array_equal(base, fallback)
+
+
+def test_site_route(monkeypatch):
+    """Per-site routing: measured defaults plus the REQUIRE_GROUPED
+    experiment flag that excludes ungroupable channel counts."""
+    from image_diffusion_tpu.ops import pallas as pk
+
+    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")  # mode "all"
+    monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
+    monkeypatch.delenv("IDTPU_PACKED_REQUIRE_GROUPED", raising=False)
+    with pk.kernel_context(mode="sample"):
+        assert pk.site_route(128, 8) == "packed"
+        assert pk.site_route(384, 8) == "packed"
+        assert pk.site_route(1024, 8) == "flash"  # above the 512 ceiling
+        monkeypatch.setenv("IDTPU_PACKED_REQUIRE_GROUPED", "1")
+        assert pk.site_route(128, 8) == "packed"   # single-tile: fine
+        assert pk.site_route(256, 8) == "packed"   # d=32 tiles 128 cleanly
+        assert pk.site_route(384, 8) == "xla"      # d=48 straddles tiles
+        assert pk.site_route(512, 8) == "packed"   # d=64 tiles cleanly
+    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
+    assert pk.site_route(128, 8) == "xla"
+
+
 def test_fp32_mode_never_hits_pallas_kernels(monkeypatch):
     """fp32 verification mode (<=1e-4 torch parity) must be bit-identical
     with the Pallas flags on or off: the bf16 packed kernel is gated on the

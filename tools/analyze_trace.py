@@ -36,7 +36,10 @@ def analyze(trace_dir: str, top: int = 20) -> None:
         if e.get("ph") == "X" and e.get("pid") in dev:
             name = e.get("name", "?")
             base = re.split(r"[.(]", name)[0]
-            if base in skip or base.startswith("jit_"):
+            # purely numeric names are whole-program run events (one per
+            # dispatched step), not leaf ops — counting them double-counts
+            # the entire step
+            if base in skip or base.startswith("jit_") or base.isdigit():
                 continue
             cats[base] += e.get("dur", 0)
             counts[base] += 1
