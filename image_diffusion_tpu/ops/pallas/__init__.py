@@ -146,11 +146,14 @@ def site_route(C: int, num_heads: int) -> str:
     """Per-attention-site kernel routing under the current context:
     "packed" (lane-packed kernel), "flash" (blockwise kernel), or "xla".
 
-    Besides the packed_max_c ceiling, IDTPU_PACKED_REQUIRE_GROUPED=1
-    additionally excludes sites whose heads do NOT tile the 128-lane
-    contraction group (group width != 128 for C > 128): those pay
-    full-C-lane masked matmuls (e.g. C=384 with d=48 does 3x the MXU work
-    of a grouped site) and route to XLA instead."""
+    Besides the packed_max_c ceiling, sites whose heads do NOT tile the
+    128-lane contraction group (group width != 128 for C > 128) route to
+    XLA by default: they pay full-C-lane masked matmuls — C=384 with d=48
+    does 3x the MXU work of a grouped site — and measured slower than the
+    padded XLA einsum (docs/attn_experiments_r3.json: 50-step sampling
+    grid 0.885s with C=384 on XLA vs 0.951s packed; v5e).
+    IDTPU_PACKED_REQUIRE_GROUPED=0 restores the round-2 all-packed
+    routing."""
     mode = attention_mode()
     if mode == "off":
         return "xla"
@@ -162,7 +165,7 @@ def site_route(C: int, num_heads: int) -> str:
 
 
 def _site_grouping_ok(C: int, num_heads: int) -> bool:
-    if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED") != "1" or C <= 128:
+    if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED", "1") != "1" or C <= 128:
         return True
     from .attention import _group_width
 

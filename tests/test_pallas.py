@@ -194,14 +194,15 @@ def test_site_route(monkeypatch):
     monkeypatch.delenv("IDTPU_PACKED_MAX_C", raising=False)
     monkeypatch.delenv("IDTPU_PACKED_REQUIRE_GROUPED", raising=False)
     with pk.kernel_context(mode="sample"):
-        assert pk.site_route(128, 8) == "packed"
-        assert pk.site_route(384, 8) == "packed"
-        assert pk.site_route(1024, 8) == "flash"  # above the 512 ceiling
-        monkeypatch.setenv("IDTPU_PACKED_REQUIRE_GROUPED", "1")
+        # measured r3 defaults: grouped-required routing is ON
         assert pk.site_route(128, 8) == "packed"   # single-tile: fine
         assert pk.site_route(256, 8) == "packed"   # d=32 tiles 128 cleanly
         assert pk.site_route(384, 8) == "xla"      # d=48 straddles tiles
         assert pk.site_route(512, 8) == "packed"   # d=64 tiles cleanly
+        assert pk.site_route(1024, 8) == "flash"   # above the 512 ceiling
+        # opt-out restores the round-2 all-packed routing
+        monkeypatch.setenv("IDTPU_PACKED_REQUIRE_GROUPED", "0")
+        assert pk.site_route(384, 8) == "packed"
     monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
     assert pk.site_route(128, 8) == "xla"
 

@@ -61,6 +61,9 @@ def main():
          {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_BLOCK_Q": "256"}),
         ("sample_blockq512", "sample",
          {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_BLOCK_Q": "512"}),
+        ("sample_grouped_blockq512", "sample",
+         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_REQUIRE_GROUPED": "1",
+          "IDTPU_PACKED_BLOCK_Q": "512"}),
         ("train_baseline", "train",
          {"IDTPU_PALLAS_ATTN": "packed"}),
         ("train_blockq256", "train",
