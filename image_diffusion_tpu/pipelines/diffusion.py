@@ -116,14 +116,41 @@ def _sample_loop(
         return eps_u + scales * (eps_c - eps_u)
 
     if sampler == "ddpm":
-        def step(xt, t):
-            eps_hat = eps_fn(xt, t)
-            z = step_noise(t, xt.shape)
-            x_prev, _ = S.ddpm_step(sched, xt, eps_hat, jnp.full((B,), t), z)
-            return x_prev, None
+        # loop-overhead experiment knobs (tools/measure_loop_r3.py): scan
+        # unroll factor and noise strategy.  "step" (default) draws inside
+        # the body; "prefetch" draws all T noises in one vmapped op outside
+        # the loop (bit-identical values — fold_in/normal are pure) and
+        # scans over them; "zero" bounds the RNG cost (experiment only,
+        # changes semantics).  Read at trace time, like the kernel routing.
+        import os as _os
 
+        unroll = int(_os.environ.get("IDTPU_SAMPLE_UNROLL", "2"))
+        noise_mode = _os.environ.get("IDTPU_SAMPLE_NOISE", "step")
         ts = jnp.arange(sched.num_steps - 1, -1, -1)
-        x0, _ = jax.lax.scan(step, x_init, ts, unroll=2)
+
+        if noise_mode == "prefetch" and row_keys is None and data_axis is None:
+            zs = jax.vmap(lambda t: step_noise(t, x_init.shape))(ts)
+
+            def step(xt, t_z):
+                t, z = t_z
+                eps_hat = eps_fn(xt, t)
+                x_prev, _ = S.ddpm_step(
+                    sched, xt, eps_hat, jnp.full((B,), t), z)
+                return x_prev, None
+
+            x0, _ = jax.lax.scan(step, x_init, (ts, zs), unroll=unroll)
+        else:
+            def step(xt, t):
+                eps_hat = eps_fn(xt, t)
+                if noise_mode == "zero":
+                    z = jnp.zeros_like(xt)
+                else:
+                    z = step_noise(t, xt.shape)
+                x_prev, _ = S.ddpm_step(
+                    sched, xt, eps_hat, jnp.full((B,), t), z)
+                return x_prev, None
+
+            x0, _ = jax.lax.scan(step, x_init, ts, unroll=unroll)
     elif sampler == "ddim":
         ts = timesteps
         ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])

@@ -158,25 +158,44 @@ def sampler_mfu(trace_dir=None):
     from image_diffusion_tpu.ops import schedule as S
 
     with pk.kernel_context(mode="sample"):
-        def loop_args(sched):
-            return (pipe.unet, pipe.unet_variables, pipe.vae,
-                    pipe.vae_variables, sched, x_init, labels, scales,
-                    jax.random.fold_in(key, 1), False)
+        # XLA's cost analysis counts a scan/while body ONCE regardless of
+        # trip count, so lowering the 1000-step program under-reports flops
+        # ~500x.  Instead lower a standalone single-denoising-step function
+        # (the exact scan body: 2x-batched CFG eps + ancestral step + the
+        # per-step noise draw) and the one-time VAE decode, and extrapolate
+        # flops(T) = T * f_step + f_decode.
+        sched = pipe.sched
+        c2 = jnp.concatenate([labels, jnp.zeros_like(labels)])
+        m2 = jnp.concatenate([jnp.ones((B, 1)), jnp.zeros((B, 1))])
+        sc = scales.reshape(B, 1, 1, 1).astype(jnp.float32)
 
-        # XLA's cost analysis counts a while-loop body ONCE, so lowering the
-        # 1000-step program under-reports flops ~500x.  Instead lower fully
-        # unrolled 2-step and 4-step programs (scan with unroll=2 and length
-        # <= unroll inlines completely): their difference is EXACTLY two
-        # denoising steps, so flops(T) = F2 + (T-2)/2 * (F4 - F2).
-        f2, b2 = cost_of(_sample_loop.lower(
-            *loop_args(S.make_schedule(2, 1e-4, 0.02, "linear"))))
-        f4, b4 = cost_of(_sample_loop.lower(
-            *loop_args(S.make_schedule(4, 1e-4, 0.02, "linear"))))
-        T = pipe.sched.num_steps
-        flops = f2 + (T - 2) / 2 * (f4 - f2)
-        bytes_ = b2 + (T - 2) / 2 * (b4 - b2)
+        @jax.jit
+        def one_step(xt, t, k):
+            x2 = jnp.concatenate([xt, xt])
+            t2 = jnp.full((2 * B,), t, jnp.int32)
+            eps2 = pipe.unet.apply(pipe.unet_variables, x2, t2, c2, m2)
+            eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2)
+            eps_hat = eps_u + sc * (eps_c - eps_u)
+            z = jax.random.normal(jax.random.fold_in(k, t), xt.shape)
+            x_prev, _ = S.ddpm_step(sched, xt, eps_hat, jnp.full((B,), t), z)
+            return x_prev
 
-        args = loop_args(pipe.sched)
+        @jax.jit
+        def decode(z):
+            return pipe.vae.apply(
+                pipe.vae_variables, z, False, method="decode"
+            ).astype(jnp.float32)
+
+        t0_ = jnp.int32(999)
+        f_step, b_step = cost_of(one_step.lower(x_init, t0_, key))
+        f_dec, b_dec = cost_of(decode.lower(x_init))
+        T = sched.num_steps
+        flops = T * f_step + f_dec
+        bytes_ = T * b_step + b_dec
+
+        args = (pipe.unet, pipe.unet_variables, pipe.vae,
+                pipe.vae_variables, sched, x_init, labels, scales,
+                jax.random.fold_in(key, 1), False)
         dt = measure(lambda: _sample_loop(*args), (), iters=2, warmup=1)
         if trace_dir:
             import jax.profiler
