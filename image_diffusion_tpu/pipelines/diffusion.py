@@ -116,19 +116,25 @@ def _sample_loop(
         return eps_u + scales * (eps_c - eps_u)
 
     if sampler == "ddpm":
-        # loop-overhead experiment knobs (tools/measure_loop_r3.py): scan
-        # unroll factor and noise strategy.  "step" (default) draws inside
-        # the body; "prefetch" draws all T noises in one vmapped op outside
-        # the loop (bit-identical values — fold_in/normal are pure) and
-        # scans over them; "zero" bounds the RNG cost (experiment only,
-        # changes semantics).  Read at trace time, like the kernel routing.
+        # Loop knobs, measured on chip (docs/loop_experiments_r3.json via
+        # tools/measure_loop_r3.py): scan unroll factor and noise strategy.
+        # "prefetch" (default) draws all T step-noises in ONE vmapped op
+        # before the loop and scans over them — bit-identical values to the
+        # in-body draw (step_noise is a pure function of (key/row_keys, t),
+        # and vmap preserves each path's semantics: per-row serving draws
+        # stay co-batching-independent, sharded draws stay global-shape
+        # row-sliced), fewer small ops inside the latency-bound loop body,
+        # and the best measured grid time of the seven-variant sweep.
+        # "step" draws inside the body; "zero" bounds the RNG cost
+        # (experiment only — changes semantics).  Read at trace time, like
+        # the kernel routing.
         import os as _os
 
         unroll = int(_os.environ.get("IDTPU_SAMPLE_UNROLL", "2"))
-        noise_mode = _os.environ.get("IDTPU_SAMPLE_NOISE", "step")
+        noise_mode = _os.environ.get("IDTPU_SAMPLE_NOISE", "prefetch")
         ts = jnp.arange(sched.num_steps - 1, -1, -1)
 
-        if noise_mode == "prefetch" and row_keys is None and data_axis is None:
+        if noise_mode == "prefetch":
             zs = jax.vmap(lambda t: step_noise(t, x_init.shape))(ts)
 
             def step(xt, t_z):

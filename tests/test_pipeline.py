@@ -226,18 +226,18 @@ def test_vq_pipeline_sampling_quantized_decode():
 
 
 def test_ddpm_noise_prefetch_equivalent(pipeline, monkeypatch):
-    """IDTPU_SAMPLE_NOISE=prefetch draws all T step-noises in one vmapped op
+    """The default "prefetch" mode draws all T step-noises in one vmapped op
     outside the scan; fold_in/normal are pure functions of (key, t) so the
-    noise values are identical and the sampled images must agree to float
-    reassociation (different programs fuse differently — measured ~2e-6 max
-    abs on CPU, vs O(0.1) for a different seed).  Same for the unroll knob.
-    (Knobs read at trace time: clear the jit cache between variants.)"""
-    base = np.asarray(pipeline.sample([1.0, 3.0], seed=11))
-    monkeypatch.setenv("IDTPU_SAMPLE_NOISE", "prefetch")
-    jax.clear_caches()
-    pre = np.asarray(pipeline.sample([1.0, 3.0], seed=11))
-    np.testing.assert_allclose(base, pre, atol=1e-4)
+    noise values are identical to the in-body "step" draw and the sampled
+    images must agree to float reassociation (different programs fuse
+    differently — measured ~2e-6 max abs on CPU, vs O(0.1) for a different
+    seed).  Same for the unroll knob.  (Knobs read at trace time: clear the
+    jit cache between variants.)"""
+    base = np.asarray(pipeline.sample([1.0, 3.0], seed=11))  # prefetch default
     monkeypatch.setenv("IDTPU_SAMPLE_NOISE", "step")
+    jax.clear_caches()
+    stp = np.asarray(pipeline.sample([1.0, 3.0], seed=11))
+    np.testing.assert_allclose(base, stp, atol=1e-4)
     monkeypatch.setenv("IDTPU_SAMPLE_UNROLL", "4")
     jax.clear_caches()
     unr = np.asarray(pipeline.sample([1.0, 3.0], seed=11))
