@@ -102,6 +102,12 @@ def main():
     p.add_argument("--fid-images", type=int, default=270,
                    help="Generated images for the FID estimate (0 disables).")
     p.add_argument("--fid-steps", type=int, default=50, help="DDIM steps for FID sampling.")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume both stages from the newest per-epoch "
+                        "checkpoints in --out (recovery after a device/"
+                        "tunnel drop).  The synthetic data and latents are "
+                        "regenerated deterministically, so only completed "
+                        "epochs are reused.")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -126,6 +132,21 @@ def main():
 
     report = {}
     t_all = time.time()
+
+    def latest_ckpt(run_name: str, prefix: str) -> str | None:
+        if not args.resume:
+            return None
+        import glob
+
+        found = sorted(
+            glob.glob(os.path.join(args.out, run_name, f"{prefix}-epoch-*.ckpt"))
+        )
+        if found:
+            print(f"[resume] {found[-1]}", flush=True)
+            report.setdefault("resumed_from", {})[prefix] = os.path.basename(
+                found[-1]
+            )
+        return found[-1] if found else None
 
     # ---- 1. data ----
     imgs, labels = make_dataset(args.n_per_class)
@@ -152,7 +173,7 @@ def main():
     )
     logger = BasicLogger(args.out, "e2e_vae", no_mlflow=True, log_interval=50)
     vt = VAETrainer(vcfg, ArrayDataset(imgs), None, logger, MetricHolder(50),
-                    run_name="e2e_vae")
+                    run_name="e2e_vae", checkpoint=latest_ckpt("e2e_vae", "vae"))
     t0 = time.time()
     vt.train()
     report["vae_steps"] = vae_epochs * spe
@@ -195,7 +216,8 @@ def main():
     )
     logger2 = BasicLogger(args.out, "e2e_unet", no_mlflow=True, log_interval=50)
     dt = DiffusionTrainer(dcfg, ArrayDataset(lat, lab), logger2, MetricHolder(50),
-                          run_name="e2e_unet")
+                          run_name="e2e_unet",
+                          checkpoint=latest_ckpt("e2e_unet", "unet"))
     t0 = time.time()
     dt.train()
     report["unet_steps"] = unet_epochs * spe2
