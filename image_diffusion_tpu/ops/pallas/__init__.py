@@ -4,12 +4,14 @@ Models consult `attention_mode()` at trace time.  The default is
 CONTEXT-DEPENDENT, from on-chip measurements (full-size models; history
 in docs/attn_bwd_measurements_r2.json + docs/packed_maxc_r2.json):
 
-  * sampling: packed Pallas attention over the whole channel ladder
-    (`packed_max_c()` -> 512) — 13.7s vs 29.7s stock XLA for the
-    27-image 1000-step CFG grid (the lane-packed contraction-grouped
-    layout avoids the 8x head-dim padding IO at d=16, pays only the
-    128-lane systolic floor at wide channels, and beats the blockwise
-    online-softmax kernel ~9x at short sequences);
+  * sampling: packed Pallas attention over the channel ladder
+    (`packed_max_c()` -> 512), EXCEPT sites whose heads straddle the
+    128-lane contraction tile (C=384, d=48) which route to the padded XLA
+    einsum (`site_route`, docs/attn_experiments_r3.json) — 13.24s vs
+    29.7s stock XLA for the 27-image 1000-step CFG grid (the lane-packed
+    contraction-grouped layout avoids the 8x head-dim padding IO at d=16,
+    pays only the 128-lane systolic floor where heads tile cleanly, and
+    beats the blockwise online-softmax kernel ~9x at short sequences);
   * training: packed fwd + BACKWARD kernels for C <= 256 — 42.9 ms/step
     vs 96.9 pure XLA at batch 48 (2.26x train throughput); the C=384/512
     sites stay XLA where the grid overhead outweighs pad savings under
