@@ -19,7 +19,10 @@ in docs/attn_bwd_measurements_r2.json + docs/packed_maxc_r2.json):
 
 Trainers scope their traces with `with kernel_context(mode="train"):`
 (the pipeline uses mode="sample"); the env var IDTPU_PALLAS_ATTN=0/packed/1
-overrides everything.  The context lives in `contextvars.ContextVar`s, so a
+overrides the MODE, and IDTPU_PACKED_REQUIRE_GROUPED=0 additionally lifts
+the per-site tile-straddle exclusion (both are needed to reproduce the
+round-2 all-packed routing — IDTPU_PALLAS_ATTN=1 alone still routes C=384
+to XLA via `site_route`).  The context lives in `contextvars.ContextVar`s, so a
 trainer thread tracing concurrently with a serving thread cannot race the
 mode (each thread sees its own value).  Kernels are validated against XLA
 references in tests/test_pallas.py.

@@ -78,6 +78,11 @@ def main():
     logging.info("Ingesting real features...")
     real = np.load(args.real, mmap_mode="r")
     n_real = min(len(real), args.max_real)  # honor the cap EXACTLY
+    if n_real < 2:
+        raise SystemExit(
+            f"need >= 2 real images for covariance, got {n_real} "
+            f"(--real {args.real}, --max-real {args.max_real})"
+        )
     chunk_size = min(256, n_real)
     for i in range(0, n_real, chunk_size):
         chunk = np.asarray(real[i : min(i + chunk_size, n_real)], np.float32) / 255.0

@@ -137,9 +137,17 @@ def main():
         if not args.resume:
             return None
         import glob
+        import re
+
+        def epoch_no(path: str) -> int:
+            # numeric sort: names are zero-padded to 2 digits only, so a
+            # lexicographic sort would rank epoch-99 above epoch-1500
+            m = re.search(r"-epoch-(\d+)\.ckpt$", path)
+            return int(m.group(1)) if m else -1
 
         found = sorted(
-            glob.glob(os.path.join(args.out, run_name, f"{prefix}-epoch-*.ckpt"))
+            glob.glob(os.path.join(args.out, run_name, f"{prefix}-epoch-*.ckpt")),
+            key=epoch_no,
         )
         if found:
             print(f"[resume] {found[-1]}", flush=True)
@@ -269,9 +277,15 @@ def main():
         dev_imgs, _ = make_dataset(max(args.fid_images // 3, 90), seed=777)
         np.save(os.path.join(args.out, "e2e_dev.npy"), dev_imgs)
         for i in range(0, len(dev_imgs), 90):
-            chunk = dev_imgs[i : i + 90]
-            if len(chunk) == 90:  # static shape; synthetic count is a multiple
-                fid.update_real_once(chunk.astype(np.float32) / 255.0)
+            chunk = dev_imgs[i : i + 90].astype(np.float32) / 255.0
+            n_valid = len(chunk)
+            if n_valid < 90:
+                # pad-and-mask the tail (one compiled feature executable;
+                # update_real_once drops pad rows via n_valid) instead of
+                # silently shrinking the real statistics
+                pad = np.zeros((90 - n_valid, *chunk.shape[1:]), np.float32)
+                chunk = np.concatenate([chunk, pad])
+            fid.update_real_once(chunk, n_valid=n_valid)
 
         pipe.to_checkpoint(os.path.join(args.out, "e2e_bundle.ckpt"))
         t0 = time.time()
