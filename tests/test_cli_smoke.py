@@ -215,3 +215,17 @@ log_interval: 2
                     "--steps", "2", "--use-cpu"])
     score = float(proc.stdout.strip().splitlines()[-1])
     assert np.isfinite(score) and score >= 0.0
+
+
+def test_bench_check_skips_off_tpu():
+    """`bench.py --check` on a non-TPU backend must SKIP with rc 0 and an
+    explicit metric line (value -1), not die lowering Mosaic kernels — the
+    bench itself runs anywhere (attention routes to XLA off-TPU)."""
+    proc = run_cli([os.path.join(REPO, "bench.py"), "--check"])
+    line = next(
+        l for l in proc.stdout.splitlines() if l.startswith("{")
+    )
+    payload = json.loads(line)
+    assert payload["metric"] == "pallas_kernel_max_rel_diff"
+    assert payload["value"] == -1.0
+    assert "SKIPPED" in payload["unit"]
