@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -183,8 +184,6 @@ def _fwd_block_q(N: int) -> int:
     """Q-row block for the packed FORWARD.  0 = whole-N blocks (the r2
     baseline).  Experimental env IDTPU_PACKED_BLOCK_Q sets a row-block
     size; blocks only apply when they divide N and actually split it."""
-    import os
-
     v = int(os.environ.get("IDTPU_PACKED_BLOCK_Q", "0") or 0)
     if v and N % v == 0 and v < N:
         return v

@@ -23,6 +23,8 @@ same image count and identical compute cost.
 
 from __future__ import annotations
 
+import os
+import threading
 from functools import partial
 from typing import Any, Sequence
 
@@ -128,10 +130,8 @@ def _sample_loop(
         # "step" draws inside the body; "zero" bounds the RNG cost
         # (experiment only — changes semantics).  Read at trace time, like
         # the kernel routing.
-        import os as _os
-
-        unroll = int(_os.environ.get("IDTPU_SAMPLE_UNROLL", "2"))
-        noise_mode = _os.environ.get("IDTPU_SAMPLE_NOISE", "prefetch")
+        unroll = int(os.environ.get("IDTPU_SAMPLE_UNROLL", "2"))
+        noise_mode = os.environ.get("IDTPU_SAMPLE_NOISE", "prefetch")
         ts = jnp.arange(sched.num_steps - 1, -1, -1)
 
         if noise_mode == "prefetch":
@@ -227,8 +227,6 @@ class DiffusionPipeline:
         # Lock: serve.py binds the socket before warmup, so a request thread
         # can race the warmup thread through get/compile/set and duplicate an
         # expensive compile; only one thread may build each executable.
-        import threading
-
         self._shard_sample_cache: dict = {}
         self._shard_cache_lock = threading.Lock()
 

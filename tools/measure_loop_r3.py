@@ -30,7 +30,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import os, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 import jax, jax.numpy as jnp, numpy as np
 
@@ -62,7 +62,7 @@ print("RESULT", json.dumps({"steady_s": min(times), "compile_s": compile_s}))
 def run(extra_env: dict) -> dict:
     env = dict(os.environ)
     env.update(extra_env)
-    code = "import json\n" + _CHILD % {"repo": REPO}
+    code = _CHILD % {"repo": REPO}
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
