@@ -44,10 +44,34 @@ def analyze(trace_dir: str, top: int = 20) -> None:
             cats[base] += e.get("dur", 0)
             counts[base] += 1
     total = sum(cats.values())
+    # device timeline span vs leaf-op time: the difference is inter-op
+    # dispatch/issue gaps — the latency-bound signature of small-op
+    # programs (this is how the sampler's 13.2s = 8.8s leaf + 4.4s gap
+    # decomposition in docs/loop_experiments_r3.json was produced)
+    starts = [
+        e["ts"]
+        for e in events
+        if e.get("ph") == "X" and e.get("pid") in dev and "dur" in e
+    ]
+    ends = [
+        e["ts"] + e["dur"]
+        for e in events
+        if e.get("ph") == "X" and e.get("pid") in dev and "dur" in e
+    ]
+    if starts:
+        span = (max(ends) - min(starts)) / 1e6
+        print(
+            f"device span {span:.3f}s = leaf-op {total / 1e6:.3f}s + "
+            f"dispatch gaps {span - total / 1e6:.3f}s "
+            f"({100 * (1 - total / 1e6 / span):.1f}% gap)"
+        )
     print(f"device leaf-op time: {total / 1e6:.3f}s ({files[-1]})")
     for name, d in cats.most_common(top):
         print(f"{d / 1e6:9.4f}s {100 * d / max(total, 1):5.1f}%  n={counts[name]:6d}  {name}")
 
 
 if __name__ == "__main__":
-    analyze(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
+    try:
+        analyze(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
+    except BrokenPipeError:  # `| head` closed the pipe; not an error
+        pass
