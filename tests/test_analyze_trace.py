@@ -1,0 +1,68 @@
+"""Unit test for tools/analyze_trace.py on a synthetic profiler trace.
+
+The real artifacts this tool produced (the 13.2s = 8.8s leaf + 4.4s gap
+sampler decomposition in docs/loop_experiments_r3.json) came from
+multi-MB traces that are too large to commit; this pins the parsing and
+accounting logic on a hand-built trace instead: device-pid filtering,
+whole-program event exclusion ("while"/jit_/numeric names), category
+aggregation, and the span = leaf + dispatch-gap arithmetic.
+"""
+
+import gzip
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from analyze_trace import analyze  # noqa: E402
+
+
+@pytest.fixture
+def trace_dir(tmp_path):
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    events = [
+        # process metadata: pid 1 is the device, pid 2 is the host
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "host threads"}},
+        # device leaf ops: 3 fusions (30us) + 1 copy (10us), with a 60us
+        # dispatch gap before the last op -> span 100us, leaf 40us
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 10, "name": "fusion.1"},
+        {"ph": "X", "pid": 1, "ts": 10, "dur": 10, "name": "fusion.2"},
+        {"ph": "X", "pid": 1, "ts": 20, "dur": 10, "name": "fusion.3"},
+        {"ph": "X", "pid": 1, "ts": 90, "dur": 10, "name": "copy.1"},
+        # whole-program events that must NOT be counted as leaf time
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 100, "name": "while"},
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 100, "name": "jit_sample"},
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 100, "name": "12345"},
+        # host events must be ignored entirely
+        {"ph": "X", "pid": 2, "ts": 0, "dur": 500, "name": "fusion.host"},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    return str(tmp_path)
+
+
+def test_leaf_categories_and_gap(trace_dir, capsys):
+    analyze(trace_dir)
+    out = capsys.readouterr().out
+    # leaf time = 40us; fusion 30us (75%) n=3, copy 10us (25%) n=1
+    assert "device leaf-op time: 0.000s" in out  # 40us rounds to 0.000s
+    assert "n=     3  fusion" in out
+    assert "n=     1  copy" in out
+    # span includes the whole-program events' extent (0..100us + the
+    # excluded 100us-long while/jit events end at 100us too)
+    assert "dispatch gaps" in out
+    # 75.0% fusion share of leaf time
+    assert " 75.0%" in out
+
+
+def test_missing_trace_dir_raises(tmp_path):
+    with pytest.raises(SystemExit):
+        analyze(str(tmp_path / "nope"))
