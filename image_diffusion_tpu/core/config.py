@@ -186,6 +186,10 @@ class DiffusionTrainConfig(TrainCommon):
 
     ae_type: str = "kl"
     cond_drop_prob: float = 0.15
+    # activation remat policy for the train step: "none" | "dots" | "full"
+    # (models/unet.py UNet.remat; gradients are unchanged up to fp
+    # reassociation — tests/test_remat.py)
+    remat: str = "none"
     # EMA of the denoiser weights for sampling (capability beyond the
     # reference; None/0 disables — the reference semantics)
     ema_decay: float | None = None

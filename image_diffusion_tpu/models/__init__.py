@@ -42,8 +42,10 @@ def build_vae(arch: VAEArch, dtype: Any = jnp.bfloat16) -> VAE:
     )
 
 
-def build_unet(arch: UNetArch, dtype: Any = jnp.bfloat16) -> UNet:
+def build_unet(arch: UNetArch, dtype: Any = jnp.bfloat16,
+               remat: str | None = None) -> UNet:
     return UNet(
+        remat=None if remat in (None, "none") else remat,
         z_dim=arch.z_dim,
         channels=arch.channels,
         mid_channels=arch.mid_channels,

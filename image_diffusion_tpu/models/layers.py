@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -270,6 +271,10 @@ class SpatialSelfAttention(nn.Module):
                 ah = jnp.einsum("bhnm,bhmd->bhnd", weights, vh, precision=prec)
             attn = ah.transpose(0, 2, 1, 3).reshape(B, H * W, C)
 
+        # Named for remat policies (models/unet.py): saving 'attn' keeps the
+        # Pallas custom-vjp forward from re-running during the rematerialized
+        # backward — the one recompute that would NOT be cheap VPU work.
+        attn = checkpoint_name(attn, "attn")
         out = Dense(C, dtype=self.dtype, name="out_proj")(attn)
         return out.reshape(B, H, W, C) + resid
 

@@ -34,6 +34,18 @@ class UNet(nn.Module):
     num_groups: int = 32
     num_classes: int = 3
     dtype: Dtype = jnp.bfloat16
+    # Activation rematerialization per DiffusionBlock (training memory/HBM
+    # lever; the train step is memory-bound — docs/mfu_r3.json: 2.6 TFLOP
+    # (~13ms compute) vs 24.4 GB (~30ms HBM) per step):
+    #   None/"none" — store every intermediate (the default),
+    #   "dots"      — save matmul/conv outputs + the named 'attn' tensors,
+    #                 recompute the cheap GN/SiLU elementwise chains,
+    #   "full"      — save only the named 'attn' tensors per block.
+    # Both policies save 'attn' (models/layers.py checkpoint_name), so the
+    # Pallas attention forward never re-runs in the rematerialized backward:
+    # its custom-vjp residuals are exactly (q, k, v) — under "dots" those are
+    # saved dot outputs; under "full" they are recomputed by one cheap Dense.
+    remat: str | None = None
 
     @nn.compact
     def __call__(self, x, timestep, context=None, context_mask=None):
@@ -41,6 +53,20 @@ class UNet(nn.Module):
         int class ids or None; context_mask: (B, 1) {0,1} or None."""
         ch = self.channels
         rev = ch[::-1]
+
+        Block = DiffusionBlock
+        if self.remat and self.remat != "none":
+            save_attn = jax.checkpoint_policies.save_only_these_names("attn")
+            policy = {
+                "dots": jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable, save_attn
+                ),
+                "full": save_attn,
+            }[self.remat]
+            # lifted transform: the scope name passed at instantiation is
+            # preserved, so the parameter tree is identical to the unremat'd
+            # model (tests/test_remat.py pins this)
+            Block = nn.remat(DiffusionBlock, policy=policy)
 
         # Timestep embedding (+ masked class embedding).
         t = TimeEmbedding(self.time_dim, dtype=self.dtype, name="time_embedding")(timestep)
@@ -64,7 +90,7 @@ class UNet(nn.Module):
         # Down path: block -> save skip -> downsample.
         skips = []
         for i in range(len(ch) - 1):
-            h = DiffusionBlock(
+            h = Block(
                 ch[i + 1], self.num_res_layers, self.num_heads, self.num_groups,
                 self.dtype, name=f"down_block_{i}",
             )(h, t)
@@ -73,7 +99,7 @@ class UNet(nn.Module):
 
         # Mid.
         for i in range(len(self.mid_channels) - 1):
-            h = DiffusionBlock(
+            h = Block(
                 self.mid_channels[i + 1], self.num_res_layers, self.num_heads,
                 self.num_groups, self.dtype, name=f"mid_block_{i}",
             )(h, t)
@@ -82,7 +108,7 @@ class UNet(nn.Module):
         for i in range(len(ch) - 1):
             skip = skips.pop()
             h = Upsample(self.dtype, name=f"upsample_{i}")(h)
-            h = DiffusionBlock(
+            h = Block(
                 rev[i + 1], self.num_res_layers, self.num_heads, self.num_groups,
                 self.dtype, name=f"up_block_{i}",
             )(h, t, out_down=skip)

@@ -219,7 +219,8 @@ class DiffusionTrainer:
         self.run_name = run_name
         self.param_sharding = param_sharding
 
-        self.model = build_unet(config.arch, dtype=config.train.compute_dtype)
+        self.model = build_unet(config.arch, dtype=config.train.compute_dtype,
+                                remat=config.train.remat)
         self.sched = S.make_schedule(
             config.schedule.num_steps,
             config.schedule.beta_start,

@@ -30,6 +30,9 @@ def parse_args():
                    help="Log a sampled CFG grid every N epochs (0 = off).")
     p.add_argument("--preview-steps", type=int, default=20,
                    help="DPM-Solver++ steps per preview.")
+    p.add_argument("--remat", choices=["none", "dots", "full"], default=None,
+                   help="Activation remat policy for the train step "
+                        "(overrides the YAML `remat:` key; see models/unet.py).")
     return p.parse_args()
 
 
@@ -52,7 +55,8 @@ def main():
     from image_diffusion_tpu.training.diffusion_trainer import DiffusionTrainer
 
     initialize_distributed()
-    cfg = DiffusionConfig.from_yaml(args.config)
+    overrides = {} if args.remat is None else {"remat": args.remat}
+    cfg = DiffusionConfig.from_yaml(args.config, **overrides)
     run_name = args.experiment_name or get_run_name("unet")
 
     mesh = make_mesh(data=args.data_parallel)

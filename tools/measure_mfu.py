@@ -55,7 +55,7 @@ def measure(fn, args, iters, warmup=3, probe=lambda r: r):
     return (time.time() - t0) / iters
 
 
-def train_step_mfu(trace_dir=None):
+def train_step_mfu(trace_dir=None, remat=None):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def train_step_mfu(trace_dir=None):
     )
 
     arch = UNetArch()
-    model = build_unet(arch, dtype=jnp.bfloat16)
+    model = build_unet(arch, dtype=jnp.bfloat16, remat=remat)
     sched = S.make_schedule(1000, 1e-4, 0.02, "linear")
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
@@ -112,7 +112,8 @@ def train_step_mfu(trace_dir=None):
             wait(m["unet/loss"])
 
     return {
-        "workload": "unet_train_step_b48_bf16",
+        "workload": "unet_train_step_b48_bf16"
+                    + (f"_remat-{remat}" if remat else ""),
         "step_ms": round(dt * 1e3, 2),
         # XLA-visible flops only (Pallas attention customs count ~0): this
         # is the conv/projection MFU, a LOWER bound on total MXU work — the
@@ -222,12 +223,15 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--trace", default=None, help="Base dir for profiler traces.")
     p.add_argument("--only", choices=["train", "sample"], default=None)
+    p.add_argument("--remat", choices=["none", "dots", "full"], default=None,
+                   help="Remat policy for the train-step workload.")
     args = p.parse_args()
 
     results = {}
     if args.only in (None, "train"):
         results["train"] = train_step_mfu(
-            trace_dir=args.trace and os.path.join(args.trace, "train"))
+            trace_dir=args.trace and os.path.join(args.trace, "train"),
+            remat=None if args.remat in (None, "none") else args.remat)
         print(json.dumps(results["train"]), flush=True)
     if args.only in (None, "sample"):
         results["sample"] = sampler_mfu(
