@@ -188,7 +188,9 @@ class DiffusionTrainConfig(TrainCommon):
     cond_drop_prob: float = 0.15
     # activation remat policy for the train step: "none" | "dots" | "full"
     # (models/unet.py UNet.remat; gradients are unchanged up to fp
-    # reassociation — tests/test_remat.py)
+    # reassociation — tests/test_remat.py).  A memory-capacity lever only:
+    # at the shipped batch 48 every policy measured slower than "none"
+    # (docs/remat_r3.json)
     remat: str = "none"
     # EMA of the denoiser weights for sampling (capability beyond the
     # reference; None/0 disables — the reference semantics)

@@ -34,12 +34,16 @@ class UNet(nn.Module):
     num_groups: int = 32
     num_classes: int = 3
     dtype: Dtype = jnp.bfloat16
-    # Activation rematerialization per DiffusionBlock (training memory/HBM
-    # lever; the train step is memory-bound — docs/mfu_r3.json: 2.6 TFLOP
-    # (~13ms compute) vs 24.4 GB (~30ms HBM) per step):
+    # Activation rematerialization per DiffusionBlock — a memory-CAPACITY
+    # lever for batches/resolutions beyond the shipped config, NOT a speed
+    # lever: at the reference workload (batch 48) every policy measured
+    # SLOWER than none (43.9 -> 59.6 "dots" / 48.7 "full" ms/step) and
+    # accessed MORE HBM bytes (docs/remat_r3.json) — XLA's fusion already
+    # avoids materializing the cheap GN/SiLU intermediates, so remat only
+    # breaks fusion boundaries.  Policies:
     #   None/"none" — store every intermediate (the default),
-    #   "dots"      — save matmul/conv outputs + the named 'attn' tensors,
-    #                 recompute the cheap GN/SiLU elementwise chains,
+    #   "dots"      — save matmul AND conv outputs + the named 'attn'
+    #                 tensors, recompute the GN/SiLU elementwise chains,
     #   "full"      — save only the named 'attn' tensors per block.
     # Both policies save 'attn' (models/layers.py checkpoint_name), so the
     # Pallas attention forward never re-runs in the rematerialized backward:
@@ -57,9 +61,19 @@ class UNet(nn.Module):
         Block = DiffusionBlock
         if self.remat and self.remat != "none":
             save_attn = jax.checkpoint_policies.save_only_these_names("attn")
+
+            # jax's dots_saveable covers dot_general ONLY — convolutions are
+            # a different primitive, and recomputing every conv in this
+            # conv-heavy UNet measured 2x SLOWER (89.5 vs 43.9 ms/step,
+            # docs/remat_r3.json "dots_only" row).  The "dots" policy here
+            # saves conv outputs too, leaving only the cheap GN/SiLU
+            # elementwise chains to recompute.
+            def _conv_dots_saveable(prim, *_, **__):
+                return prim.name in ("dot_general", "conv_general_dilated")
+
             policy = {
                 "dots": jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_saveable, save_attn
+                    _conv_dots_saveable, save_attn
                 ),
                 "full": save_attn,
             }[self.remat]

@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--classes", type=str, default="a hot place,a cold place,a mild place")
     p.add_argument("--labels-mode", choices=["clip", "random"], default="clip",
                    help="'random' assigns uniform labels (pipeline testing without CLIP weights).")
+    p.add_argument("--clip-backend", choices=["jax", "torch"], default="jax",
+                   help="Run the CLIP forward as a jitted JAX program on the "
+                        "accelerator (default; oracle-pinned port) or via "
+                        "transformers eager torch.")
     p.add_argument("--use-cpu", action="store_true")
     return p.parse_args()
 
@@ -126,24 +130,62 @@ def diffusion_dataset(args):
 
 
 def clip_labels(images, classes, args) -> np.ndarray:
-    """Zero-shot classify each image against the class prompts with CLIP."""
+    """Zero-shot classify each image against the class prompts with CLIP
+    (reference scripts/prepare_dataset.py:111-143 runs OpenAI ViT-B/32 on
+    CUDA).  Preprocessing/tokenization stay on host via CLIPProcessor;
+    the model forward runs through the JAX port (models/clip.py, oracle-
+    pinned <=1e-4) as one fixed-shape jitted executable on TPU — pass
+    --clip-backend torch to use the transformers eager forward instead."""
     import torch
     from transformers import CLIPModel, CLIPProcessor
 
     source = args.clip or "openai/clip-vit-base-patch32"
-    logging.info(f"Loading CLIP from {source}")
+    logging.info(f"Loading CLIP from {source} (backend={args.clip_backend})")
     model = CLIPModel.from_pretrained(source).eval()
     processor = CLIPProcessor.from_pretrained(source)
 
     n = images.shape[0]
     labels = np.zeros((n,), np.uint8)
     bs = args.batch_size
+    text = processor(text=classes, return_tensors="np", padding=True)
+
+    if args.clip_backend == "jax":
+        import jax
+
+        from image_diffusion_tpu.models.clip import CLIPZeroShot
+
+        port = CLIPZeroShot.from_torch_model(model)
+        del model
+        # text side is one shot; normalize once, reuse across image batches
+        txt = port.encode_text(text["input_ids"], text.get("attention_mask"))
+        txt = txt / jax.numpy.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jax.numpy.exp(port.params["logit_scale"])
+
+        for i in range(0, n, bs):
+            batch = [images[j] for j in range(i, min(i + bs, n))]
+            pixel = processor(images=batch, return_tensors="np")["pixel_values"]
+            if len(batch) < bs:  # pad the tail: one compiled executable per run
+                pixel = np.concatenate(
+                    [pixel, np.zeros((bs - len(batch), *pixel.shape[1:]), pixel.dtype)]
+                )
+            img = port.encode_images(pixel)
+            img = img / jax.numpy.linalg.norm(img, axis=-1, keepdims=True)
+            logits = scale * img @ txt.T
+            # softmax then argmax == argmax (monotone), matching the
+            # reference's logits_per_image.softmax(-1).argmax(-1)
+            labels[i : i + len(batch)] = np.asarray(
+                jax.numpy.argmax(logits, -1), np.uint8
+            )[: len(batch)]
+            if (i // bs) % 50 == 0:
+                logging.info(f"labeled {i}/{n}")
+        return labels
+
+    tt = {k: torch.from_numpy(np.asarray(v)) for k, v in text.items()}
     with torch.no_grad():
-        text = processor(text=classes, return_tensors="pt", padding=True)
         for i in range(0, n, bs):
             batch = [images[j] for j in range(i, min(i + bs, n))]
             pixel = processor(images=batch, return_tensors="pt")["pixel_values"]
-            out = model(pixel_values=pixel, **text)
+            out = model(pixel_values=pixel, **tt)
             labels[i : i + len(batch)] = (
                 out.logits_per_image.softmax(-1).argmax(-1).numpy().astype(np.uint8)
             )
