@@ -245,6 +245,10 @@ class SpatialSelfAttention(nn.Module):
         # carries the measured per-context defaults per channel count.
         route = (pk.site_route(C, self.num_heads)
                  if kv is None and self.dtype == jnp.bfloat16 else "xla")
+        # trace-time site accounting (no-op outside pk.record_sites blocks):
+        # lets tools/measure_mfu.py add the Pallas kernels' executed FLOPs —
+        # invisible to XLA's cost analysis — back into the MFU numbers
+        pk.log_site(B, H * W, C, self.num_heads, route)
         if route == "packed":
             # lane-packed kernel: no head-dim padding, no head transposes.
             # Covers the whole channel ladder up to packed_max_c() — the

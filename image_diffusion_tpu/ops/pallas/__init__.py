@@ -40,6 +40,7 @@ import os
 from contextlib import contextmanager
 
 from .attention import (
+    _group_width,
     attention,
     flash_attention,
     packed_attention,
@@ -54,7 +55,12 @@ __all__ = [
     "reference_packed_attention",
     "reference_attention",
     "attention_enabled",
+    "executed_attention_flops",
     "kernel_context",
+    "log_site",
+    "model_attention_flops",
+    "packed_site_flops",
+    "record_sites",
     "set_context",
     "set_multichip_train",
     "site_route",
@@ -172,9 +178,95 @@ def site_route(C: int, num_heads: int) -> str:
 def _site_grouping_ok(C: int, num_heads: int) -> bool:
     if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED", "1") != "1" or C <= 128:
         return True
-    from .attention import _group_width
-
     return _group_width(C, C // num_heads) == 128
+
+
+# --- attention-site accounting ------------------------------------------
+#
+# XLA's compiled cost analysis reports ~0 FLOPs for Mosaic custom calls, so
+# any MFU computed from it alone is a lower bound that understates the two
+# headline workloads badly (the attention kernels carry 44-51% of device
+# time).  The kernels' executed matmul work is exactly computable from the
+# site shape, so models log every attention site at trace time and
+# tools/measure_mfu.py adds the analytic FLOPs back in.
+
+_SITE_LOG: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "idtpu_attention_site_log", default=None
+)
+
+
+@contextmanager
+def record_sites():
+    """Collect (B, N, C, num_heads, route) tuples for every attention site
+    traced inside the block (one entry per model-forward call site).  Yields
+    the list; entries appear as tracing happens (e.g. during `.lower()`)."""
+    log: list[tuple[int, int, int, int, str]] = []
+    tok = _SITE_LOG.set(log)
+    try:
+        yield log
+    finally:
+        _SITE_LOG.reset(tok)
+
+
+def log_site(B: int, N: int, C: int, num_heads: int, route: str) -> None:
+    """Called by SpatialSelfAttention at trace time; no-op outside
+    `record_sites` blocks."""
+    log = _SITE_LOG.get()
+    if log is not None:
+        log.append((int(B), int(N), int(C), int(num_heads), route))
+
+
+def packed_site_flops(
+    B: int, N: int, C: int, num_heads: int, *, backward: bool = False
+) -> int:
+    """EXECUTED matmul FLOPs of the lane-packed kernel for one site.
+
+    Per head, the kernel contracts over its `_group_width` lanes (one
+    aligned 128-lane tile where heads tile it, the full channel width
+    otherwise), so each of the forward's 2 matmuls does 2*N^2*gw FLOPs
+    regardless of head_dim — the systolic array's lane floor.  The packed
+    backward runs 5 such matmuls per head (score recompute, dV, dP, dQ,
+    dK; `_packed_bwd_kernel`).  The blockwise flash kernel pads head_dim
+    to the 128-lane width, which lands on the same per-matmul cost — use
+    gw=128 via num_heads=C//128-equivalent shapes if ever needed.
+
+    `backward=True` returns fwd+bwd (training); False returns fwd only.
+    """
+    gw = _group_width(C, C // num_heads)
+    per_matmul = 2 * B * num_heads * N * N * gw
+    n_matmuls = 7 if backward else 2
+    return n_matmuls * per_matmul
+
+
+def model_attention_flops(
+    B: int, N: int, C: int, num_heads: int, *, backward: bool = False
+) -> int:
+    """MODEL (information-theoretic) matmul FLOPs for one attention site:
+    what an ideal d-lane contraction would execute.  2 matmuls of
+    2*N^2*d per head forward, 5 backward."""
+    d = C // num_heads
+    per_matmul = 2 * B * num_heads * N * N * d
+    n_matmuls = 7 if backward else 2
+    return n_matmuls * per_matmul
+
+
+def executed_attention_flops(
+    sites: list[tuple[int, int, int, int, str]], *, backward: bool = False
+) -> int:
+    """Total EXECUTED Pallas FLOPs over recorded sites — the number to add
+    to XLA's compiled FLOP count for a hardware-utilization figure.
+
+    XLA-routed sites contribute 0 (their einsums are in the compiled
+    count), as does the blockwise flash kernel's backward (an XLA-traced
+    recompute).  The flash forward pads head_dim to the 128-lane width —
+    the same per-matmul cost as a 128-wide packed group."""
+    total = 0
+    for B, N, C, h, route in sites:
+        if route == "packed":
+            total += packed_site_flops(B, N, C, h, backward=backward)
+        elif route == "flash":
+            total += 2 * (2 * B * h * N * N * 128)  # fwd only; bwd is XLA
+    return total
 
 
 def packed_max_c() -> int:

@@ -339,6 +339,9 @@ def make_vae_train_step(
         with pk.kernel_context(mode="train"):
             return _train_step(state, x_u8, rng, disc_active=disc_active)
 
+    # the exact jitted executable, for AOT lowering / cost analysis
+    # (tools/measure_mfu.py) — same convention as the diffusion step
+    train_step.jitted = _train_step
     return train_step
 
 
@@ -473,6 +476,7 @@ class VAETrainer:
             with pk.kernel_context(multichip_train=_multichip):
                 return _base_step(*args, **kwargs)
 
+        _train_step.jitted = _base_step.jitted  # for AOT lowering/cost analysis
         self.train_step = _train_step
         _base_eval = make_eval_step(self.vae, self.disc, config, percept_fn)
 

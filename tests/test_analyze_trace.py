@@ -66,3 +66,15 @@ def test_leaf_categories_and_gap(trace_dir, capsys):
 def test_missing_trace_dir_raises(tmp_path):
     with pytest.raises(SystemExit):
         analyze(str(tmp_path / "nope"))
+
+
+def test_gap_attribution(trace_dir, capsys):
+    """--gaps attributes inter-op idle time to the op that follows it,
+    per device track: here the only gap is the 60us before copy.1."""
+    analyze(trace_dir, gaps=True)
+    out = capsys.readouterr().out
+    assert "idle-before-op attribution (total gap 0.000s):" in out
+    # one 60us gap, attributed to the copy that follows it
+    assert "n=     1  avg    60.0us  before copy" in out
+    # fusions ran back-to-back: no gap line should attribute idle to them
+    assert "before fusion" not in out

@@ -276,3 +276,106 @@ def test_packed_attention_bwd_kernel_per_operand(n, heads, c):
         a, b = np.asarray(a), np.asarray(b)
         denom = np.abs(b).max() + 1e-12
         assert np.abs(a - b).max() / denom < 2e-2, f"d{name} mismatch"
+
+
+def test_flop_accounting_formulas():
+    """packed_site_flops / model_attention_flops against hand counts."""
+    from image_diffusion_tpu.ops import pallas as pk
+
+    # C=256, 8 heads -> d=32, group width 128 (aligned tile): the kernel
+    # runs 2 matmuls per head forward, each 2*N^2*128 FLOPs
+    B, N, C, h = 48, 1024, 256, 8
+    per_matmul = 2 * B * h * N * N * 128
+    assert pk.packed_site_flops(B, N, C, h) == 2 * per_matmul
+    assert pk.packed_site_flops(B, N, C, h, backward=True) == 7 * per_matmul
+    # model flops contract d lanes instead of the group width
+    assert pk.model_attention_flops(B, N, C, h) == 2 * (2 * B * h * N * N * 32)
+    # C=384, 8 heads -> d=48 straddles the tile: full-width (C) groups
+    assert pk.packed_site_flops(1, 16, 384, 8) == 2 * (2 * 1 * 8 * 16 * 16 * 384)
+    # executed_attention_flops: xla sites contribute 0, flash fwd pads to 128
+    sites = [(2, 64, 384, 8, "xla"), (2, 64, 64, 4, "packed"),
+             (2, 64, 512, 8, "flash")]
+    expect = pk.packed_site_flops(2, 64, 64, 4) + 2 * (2 * 2 * 8 * 64 * 64 * 128)
+    assert pk.executed_attention_flops(sites) == expect
+    # flash backward is XLA-traced -> still fwd-only contribution
+    assert (pk.executed_attention_flops(sites, backward=True)
+            == pk.packed_site_flops(2, 64, 64, 4, backward=True)
+            + 2 * (2 * 2 * 8 * 64 * 64 * 128))
+
+
+def test_record_sites_logs_unet_attention(monkeypatch):
+    """Tracing a UNet under record_sites yields one entry per attention
+    site with the routing the context would pick; outside the block the
+    logger is a no-op."""
+    from image_diffusion_tpu.core.config import UNetArch
+    from image_diffusion_tpu.models import build_unet
+    from image_diffusion_tpu.ops import pallas as pk
+
+    arch = UNetArch(z_dim=3, channels=(16, 128), mid_channels=(128, 128),
+                    time_dim=32, num_res_layers=1, num_heads=4, num_groups=8)
+    m = build_unet(arch, dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 8, 8, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    c = jnp.zeros((2,), jnp.int32)
+    v = m.init(jax.random.key(0), x, t, c)  # executes on CPU: XLA routing
+    # force packed routing only for the abstract traces below — on CPU the
+    # kernels can trace (eval_shape) but not execute/lower
+    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "packed")
+
+    # eval_shape traces the model (firing log_site) without lowering the
+    # pallas calls for a backend — CPU cannot lower them non-interpret
+    with pk.kernel_context(mode="train"), pk.record_sites() as sites:
+        jax.eval_shape(m.apply, v, x, t, c)
+    # topology: down_block_0 @8x8 C=128, mid @4x4 C=128, up_block_0 @8x8
+    # C=16 — one attention layer each (num_res_layers=1)
+    assert sites == [
+        (2, 64, 128, 4, "packed"),
+        (2, 16, 128, 4, "packed"),
+        (2, 64, 16, 4, "packed"),
+    ]
+    # outside a record block, tracing must not touch the old list
+    n = len(sites)
+    jax.eval_shape(m.apply, v, x, t, c)
+    assert len(sites) == n
+
+
+def test_fullsize_unet_site_routing_table(monkeypatch):
+    """The shipped 60M UNet's attention-site map and measured per-context
+    routing (docs/packed_maxc_r2.json + docs/attn_experiments_r3.json):
+    sampling packs every tile-aligned site up to C=512 and routes the
+    tile-straddling C=384 (d=48) sites to the XLA einsum; training's
+    ceiling is C=256.  Abstract tracing only — no kernel executes."""
+    from image_diffusion_tpu.core.config import UNetArch
+    from image_diffusion_tpu.models import build_unet
+    from image_diffusion_tpu.ops import pallas as pk
+
+    m = build_unet(UNetArch(), dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    c = jnp.zeros((2,), jnp.int32)
+    vars_struct = jax.eval_shape(m.init, jax.random.key(0), x, t, c)
+
+    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")  # "all": the sample default
+    with pk.record_sites() as sample_sites:
+        jax.eval_shape(m.apply, vars_struct, x, t, c)
+    # (N, C) ladder: two layers per block, down 32^2/16^2/8^2, mid 4^2,
+    # up 8^2/16^2/32^2 — C=384 straddles the 128-lane tile -> xla
+    expect = [
+        (1024, 256, "packed"), (1024, 256, "packed"),   # down_block_0
+        (256, 384, "xla"), (256, 384, "xla"),           # down_block_1
+        (64, 512, "packed"), (64, 512, "packed"),       # down_block_2
+        (16, 512, "packed"), (16, 512, "packed"),       # mid_block_0
+        (64, 384, "xla"), (64, 384, "xla"),             # up_block_0
+        (256, 256, "packed"), (256, 256, "packed"),     # up_block_1
+        (1024, 128, "packed"), (1024, 128, "packed"),   # up_block_2
+    ]
+    assert [(n, ch, r) for _, n, ch, _, r in sample_sites] == expect
+
+    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "packed")
+    with pk.kernel_context(mode="train"), pk.record_sites() as train_sites:
+        jax.eval_shape(m.apply, vars_struct, x, t, c)
+    # training ceiling C<=256: the C=512 sites fall back to XLA too
+    expect_train = [
+        (n, ch, "xla" if ch > 256 else r) for n, ch, r in expect
+    ]
+    assert [(n, ch, r) for _, n, ch, _, r in train_sites] == expect_train

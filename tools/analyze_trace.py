@@ -16,7 +16,7 @@ import re
 import sys
 
 
-def analyze(trace_dir: str, top: int = 20) -> None:
+def analyze(trace_dir: str, top: int = 20, gaps: bool = False) -> None:
     files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not files:
         raise SystemExit(f"no trace files under {trace_dir}")
@@ -68,10 +68,50 @@ def analyze(trace_dir: str, top: int = 20) -> None:
     print(f"device leaf-op time: {total / 1e6:.3f}s ({files[-1]})")
     for name, d in cats.most_common(top):
         print(f"{d / 1e6:9.4f}s {100 * d / max(total, 1):5.1f}%  n={counts[name]:6d}  {name}")
+    if gaps:
+        gap_attribution(events, dev, top)
+
+
+def gap_attribution(events, dev, top: int = 20) -> None:
+    """Attribute inter-op idle time to the op that FOLLOWS each gap, per
+    device track (pid, tid).  This is how to localize a latency-bound
+    program's issue gaps: a uniform spread means per-op sequencer cost, a
+    concentration before one op class means that op's launch overhead."""
+    tracks: dict = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev and "dur" in e:
+            name = e.get("name", "?")
+            base = re.split(r"[.(]", name)[0]
+            if base in ("while",) or base.startswith("jit_") or base.isdigit():
+                continue
+            tracks.setdefault((e["pid"], e.get("tid")), []).append(
+                (e["ts"], e["dur"], base)
+            )
+    gaps: collections.Counter = collections.Counter()
+    ngaps: collections.Counter = collections.Counter()
+    for evs in tracks.values():
+        evs.sort()
+        prev_end = None
+        for ts, dur, base in evs:
+            if prev_end is not None and ts > prev_end:
+                gaps[base] += ts - prev_end
+                ngaps[base] += 1
+            prev_end = max(prev_end or 0, ts + dur)
+    total = sum(gaps.values())
+    print(f"\nidle-before-op attribution (total gap {total / 1e6:.3f}s):")
+    for name, d in gaps.most_common(top):
+        print(
+            f"{d / 1e6:9.4f}s {100 * d / max(total, 1):5.1f}%  n={ngaps[name]:6d}"
+            f"  avg {d / max(ngaps[name], 1):7.1f}us  before {name}"
+        )
 
 
 if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--gaps"]
     try:
-        analyze(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
+        analyze(
+            argv[0] if argv else "/tmp/jaxtrace",
+            gaps="--gaps" in sys.argv,
+        )
     except BrokenPipeError:  # `| head` closed the pipe; not an error
         pass

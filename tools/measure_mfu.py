@@ -38,10 +38,21 @@ def wait(x):
 
 
 def cost_of(lowered):
-    c = lowered.compile().cost_analysis()
+    """(flops, bytes accessed, peak HBM GB) of the compiled executable.
+    Peak memory = args + outputs + temps + generated code from XLA's
+    memory analysis (None when the backend doesn't report it)."""
+    compiled = lowered.compile()
+    c = compiled.cost_analysis()
     if isinstance(c, (list, tuple)):  # older jax returns [dict]
         c = c[0]
-    return float(c.get("flops", -1)), float(c.get("bytes accessed", -1))
+    try:
+        m = compiled.memory_analysis()
+        peak = round((m.argument_size_in_bytes + m.output_size_in_bytes
+                      + m.temp_size_in_bytes
+                      + m.generated_code_size_in_bytes) / 1e9, 2)
+    except Exception:
+        peak = None
+    return float(c.get("flops", -1)), float(c.get("bytes accessed", -1)), peak
 
 
 def measure(fn, args, iters, warmup=3, probe=lambda r: r):
@@ -91,8 +102,16 @@ def train_step_mfu(trace_dir=None, remat=None):
     # compile cache from prior bench/training runs applies
     from image_diffusion_tpu.ops import pallas as pk
 
-    with pk.kernel_context(mode="train"):
-        flops, bytes_ = cost_of(step.jitted.lower(state, x, c, key))
+    with pk.kernel_context(mode="train"), pk.record_sites() as sites:
+        flops, bytes_, peak = cost_of(step.jitted.lower(state, x, c, key))
+    # the Pallas custom calls report ~0 FLOPs to cost analysis; add their
+    # exactly-known matmul work back (fwd + bwd kernels run every step)
+    pallas_exec = pk.executed_attention_flops(sites, backward=True)
+    attn_model = sum(
+        pk.model_attention_flops(B_, N_, C_, h_, backward=True)
+        for B_, N_, C_, h_, r_ in sites
+        if r_ in ("packed", "flash")
+    )
 
     # the step donates `state` — rebind it every call (bench.py pattern)
     for _ in range(6):
@@ -115,14 +134,99 @@ def train_step_mfu(trace_dir=None, remat=None):
         "workload": "unet_train_step_b48_bf16"
                     + (f"_remat-{remat}" if remat else ""),
         "step_ms": round(dt * 1e3, 2),
-        # XLA-visible flops only (Pallas attention customs count ~0): this
-        # is the conv/projection MFU, a LOWER bound on total MXU work — the
-        # profiler trace puts the attention kernels at ~44% of device time
+        # XLA-visible (logical) flops; the Pallas custom calls count ~0
+        # there, so the three utilization figures are:
+        #   xla_only_mfu_pct — the old lower bound (conv/projection only),
+        #   mfu_pct          — MODEL flops incl. the attention sites' ideal
+        #                      d-lane work (the honest MFU headline),
+        #   hw_util_pct      — EXECUTED flops incl. the packed kernels'
+        #                      128-lane-floor masked matmuls (how busy the
+        #                      MXU actually is; lane-floor work is real
+        #                      hardware throughput, not model progress)
+        "compiled_tflops_per_step": round(flops / 1e12, 3),
+        "pallas_exec_tflops_per_step": round(pallas_exec / 1e12, 3),
+        "attn_model_tflops_per_step": round(attn_model / 1e12, 3),
+        "compiled_gbytes_per_step": round(bytes_ / 1e9, 3),
+        "xla_only_mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        "mfu_pct": round(100 * (flops + attn_model) / dt / PEAK_BF16_FLOPS, 1),
+        "hw_util_pct": round(100 * (flops + pallas_exec) / dt / PEAK_BF16_FLOPS, 1),
+        "hbm_roofline_ms": round(1e3 * bytes_ / HBM_BYTES_PER_S, 2),
+        "peak_hbm_gb": peak,
+        "samples_per_sec": round(48 / dt, 1),
+    }
+
+
+def vae_step_mfu(trace_dir=None):
+    """Stage-1 VAE-GAN train step (batch 48, disc active, KL bottleneck,
+    real LPIPS-shaped perceptual network with random weights — weight
+    VALUES don't change the compute).  The VAE/discriminator/VGG attention
+    and convs are all XLA (the one VAE attention site routes to XLA in
+    every context), so compiled cost analysis covers the whole step and
+    mfu == the hardware number."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from torch_oracles import random_lpips_state
+
+    from image_diffusion_tpu.core.config import VAEConfig
+    from image_diffusion_tpu.models.lpips import LPIPS
+    from image_diffusion_tpu.training.vae_trainer import VAETrainer
+    from image_diffusion_tpu.core.logging import BasicLogger
+    from image_diffusion_tpu.core.metrics import MetricHolder
+    from image_diffusion_tpu.training.data import ArrayDataset
+
+    cfg = VAEConfig.from_yaml(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "vae-kl-32x32.yaml")
+    )
+    percept = LPIPS.from_state_dict(random_lpips_state(seed=0))
+
+    rng = np.random.default_rng(0)
+    batch = cfg.train.batch_size  # 48
+    imgs = rng.integers(0, 256, (4, 128, 128, 3), dtype=np.uint8)
+    logger = BasicLogger("/tmp/mfu_vae_logs", "mfu", no_mlflow=True, log_interval=50)
+    trainer = VAETrainer(
+        cfg, ArrayDataset(imgs), None, logger, MetricHolder(cfg.train.log_interval),
+        percept_fn=percept,
+    )
+
+    x = jnp.asarray(rng.integers(0, 256, (batch, 128, 128, 3), dtype=np.uint8))
+    key = jax.random.key(1)
+
+    from image_diffusion_tpu.ops import pallas as pk
+
+    with pk.kernel_context(mode="train"), pk.record_sites() as sites:
+        flops, bytes_, peak = cost_of(
+            trainer.train_step.jitted.lower(trainer.state, x, key, disc_active=True)
+        )
+    assert not any(r != "xla" for *_, r in sites), sites  # all-XLA step
+
+    state = trainer.state
+    for _ in range(4):
+        state, m = trainer.train_step(state, x, key, disc_active=True)
+    wait(m["vae/recon_loss"])
+    t0 = time.time()
+    for _ in range(10):
+        state, m = trainer.train_step(state, x, key, disc_active=True)
+    wait(m["vae/recon_loss"])
+    dt = (time.time() - t0) / 10
+    if trace_dir:
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, m = trainer.train_step(state, x, key, disc_active=True)
+            wait(m["vae/recon_loss"])
+
+    return {
+        "workload": "vae_gan_train_step_b48_bf16_disc_active",
+        "step_ms": round(dt * 1e3, 2),
         "compiled_tflops_per_step": round(flops / 1e12, 3),
         "compiled_gbytes_per_step": round(bytes_ / 1e9, 3),
         "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
         "hbm_roofline_ms": round(1e3 * bytes_ / HBM_BYTES_PER_S, 2),
-        "samples_per_sec": round(48 / dt, 1),
+        "peak_hbm_gb": peak,
+        "img_per_sec": round(batch / dt, 1),
     }
 
 
@@ -188,11 +292,24 @@ def sampler_mfu(trace_dir=None):
             ).astype(jnp.float32)
 
         t0_ = jnp.int32(999)
-        f_step, b_step = cost_of(one_step.lower(x_init, t0_, key))
-        f_dec, b_dec = cost_of(decode.lower(x_init))
+        with pk.record_sites() as step_sites:
+            f_step, b_step, peak = cost_of(one_step.lower(x_init, t0_, key))
+        with pk.record_sites() as dec_sites:
+            f_dec, b_dec, _peak_dec = cost_of(decode.lower(x_init))
         T = sched.num_steps
         flops = T * f_step + f_dec
         bytes_ = T * b_step + b_dec
+        # Pallas kernels' work is invisible to cost analysis — add the
+        # exactly-known executed matmul FLOPs (and the sites' ideal MODEL
+        # flops for the honest MFU; see train_step_mfu)
+        pallas_exec = (T * pk.executed_attention_flops(step_sites)
+                       + pk.executed_attention_flops(dec_sites))
+        attn_model = sum(
+            n * pk.model_attention_flops(B_, N_, C_, h_)
+            for n, sites in ((T, step_sites), (1, dec_sites))
+            for B_, N_, C_, h_, r_ in sites
+            if r_ in ("packed", "flash")
+        )
 
         args = (pipe.unet, pipe.unet_variables, pipe.vae,
                 pipe.vae_variables, sched, x_init, labels, scales,
@@ -207,13 +324,16 @@ def sampler_mfu(trace_dir=None):
     return {
         "workload": f"cfg_grid_27img_{T}step_ddpm",
         "wall_s": round(dt, 3),
-        # XLA-visible flops only: the Pallas attention custom calls count
-        # ~0 here, so this MFU is the conv/projection utilization — a LOWER
-        # bound on total MXU work (see the trace for the attention share)
+        # three utilization figures — see train_step_mfu for the taxonomy
         "compiled_tflops": round(flops / 1e12, 2),
+        "pallas_exec_tflops": round(pallas_exec / 1e12, 2),
+        "attn_model_tflops": round(attn_model / 1e12, 2),
         "compiled_gbytes": round(bytes_ / 1e9, 2),
-        "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        "xla_only_mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        "mfu_pct": round(100 * (flops + attn_model) / dt / PEAK_BF16_FLOPS, 1),
+        "hw_util_pct": round(100 * (flops + pallas_exec) / dt / PEAK_BF16_FLOPS, 1),
         "hbm_roofline_s": round(bytes_ / HBM_BYTES_PER_S, 3),
+        "peak_hbm_gb": peak,
         "img_per_sec": round(27 / dt, 3),
     }
 
@@ -222,7 +342,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--trace", default=None, help="Base dir for profiler traces.")
-    p.add_argument("--only", choices=["train", "sample"], default=None)
+    p.add_argument("--only", choices=["train", "sample", "vae"], default=None)
     p.add_argument("--remat", choices=["none", "dots", "full"], default=None,
                    help="Remat policy for the train-step workload.")
     args = p.parse_args()
@@ -237,6 +357,10 @@ def main():
         results["sample"] = sampler_mfu(
             trace_dir=args.trace and os.path.join(args.trace, "sample"))
         print(json.dumps(results["sample"]), flush=True)
+    if args.only in (None, "vae"):
+        results["vae"] = vae_step_mfu(
+            trace_dir=args.trace and os.path.join(args.trace, "vae"))
+        print(json.dumps(results["vae"]), flush=True)
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
