@@ -149,6 +149,12 @@ log_interval: 2
     assert env_proc.returncode != 0
     assert "allow-no-lpips" in (env_proc.stderr + env_proc.stdout)
 
+    # ---- 2c. latent visualization (reference README figure-3 workflow) ----
+    lat_png = f"{d}/latents.png"
+    run_cli([f"{SCRIPTS}/visualize_latents.py", vae_ckpt, "--images", blob,
+             "--n", "3", "--out", lat_png, "--use-cpu"])
+    assert os.path.getsize(lat_png) > 0
+
     # ---- 3. prepare diffusion dataset (random labels; no CLIP weights) ----
     run_cli([f"{SCRIPTS}/prepare_dataset.py", "diffusion",
              "--diffusion-images", blob, "--vae-checkpoint", vae_ckpt,

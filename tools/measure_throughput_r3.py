@@ -62,7 +62,13 @@ def main():
         ["a hot place", "a cold place", "a mild place"],
     )
 
+    # merge into an existing out file: a TPU-worker crash mid-sweep (seen
+    # at B=216 ddpm) kills the client backend, so sweeps run as separate
+    # processes and accumulate rows here
     results = {"backend": jax.default_backend()}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results.update(json.load(f))
     for spec in args.samplers:
         name, steps_s = spec.split(":")
         steps = int(steps_s)
