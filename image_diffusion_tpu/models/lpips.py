@@ -34,13 +34,13 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def _conv(x, w, b):
-    """3x3 SAME conv, NHWC, HWIO kernel, fp32."""
+    """3x3 SAME conv, NHWC, HWIO kernel (dtype follows the operands)."""
     y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME",
+        x, w.astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision="highest",
+        precision="highest" if x.dtype == jnp.float32 else None,
     )
-    return y + b[None, None, None, :]
+    return y + b.astype(x.dtype)[None, None, None, :]
 
 
 def _maxpool(x):
@@ -52,16 +52,36 @@ def _maxpool(x):
 class LPIPS:
     """Frozen functional LPIPS. Construct via from_torch_file()."""
 
-    def __init__(self, conv_params: list[tuple[np.ndarray, np.ndarray]], lin_weights: list[np.ndarray]):
+    def __init__(self, conv_params: list[tuple[np.ndarray, np.ndarray]], lin_weights: list[np.ndarray],
+                 dtype: Any = jnp.float32):
         # conv_params: [(HWIO kernel, bias), ...] over all 13 VGG16 convs
         # lin_weights: per-tap (C,) non-negative channel weights (1x1 convs)
+        # dtype: VGG conv compute dtype.  float32 (default) is the oracle-
+        # parity path; bfloat16 runs the backbone's MXU work at the bf16
+        # rate, matching the reference's fp16-autocast training semantics
+        # (reference trainers/vae_trainer.py:138-144 wraps the LPIPS forward
+        # in torch.cuda.amp.autocast).  The tap comparison (unit-normalize,
+        # diff, lin weighting, reduction) always runs in float32.
         self.conv_params = [(jnp.asarray(w), jnp.asarray(b)) for w, b in conv_params]
         self.lin_weights = [jnp.asarray(w) for w in lin_weights]
+        self.dtype = dtype
+
+    def astype(self, dtype: Any) -> "LPIPS":
+        """Same frozen weights, different backbone compute dtype (the
+        trainers call this with the config's compute dtype)."""
+        if dtype == self.dtype:
+            return self
+        out = LPIPS.__new__(LPIPS)
+        out.conv_params = self.conv_params
+        out.lin_weights = self.lin_weights
+        out.dtype = dtype
+        return out
 
     def _features(self, x: jax.Array) -> list[jax.Array]:
-        """x in [-1, 1], NHWC -> list of tapped post-ReLU feature maps."""
+        """x in [-1, 1], NHWC -> list of tapped post-ReLU feature maps
+        (cast to float32 for the comparison stage)."""
         x = x.astype(jnp.float32)
-        x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+        x = ((x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)).astype(self.dtype)
         feats = []
         k = 0
         for stage_idx, (_, n_convs) in enumerate(_VGG16_STAGES):
@@ -69,7 +89,7 @@ class LPIPS:
                 w, b = self.conv_params[k]
                 x = jax.nn.relu(_conv(x, w, b))
                 k += 1
-            feats.append(x)
+            feats.append(x.astype(jnp.float32))
             if stage_idx < len(_VGG16_STAGES) - 1:
                 x = _maxpool(x)
         return feats
