@@ -100,8 +100,17 @@ class Engine:
         self.compiled = False
         self._worker_error: BaseException | None = None
         self.stats = {"requests": 0, "batches": 0}
+        # Dispatch/finish pipeline: the worker thread only builds batches and
+        # enqueues device work (JAX dispatch is async); the finisher thread
+        # does the blocking device->host transfer + PNG encode + replies.
+        # Under sustained load the device runs batch k+1 while batch k's
+        # pixels cross PCIe and compress on host.  maxsize bounds in-flight
+        # device output buffers (2 batches).
+        self._finish_q: "queue.Queue[tuple[object, list, int]]" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._fin_thread = threading.Thread(target=self._finisher, daemon=True)
+        self._fin_thread.start()
 
     # --------------------------------------------------------- jax side
     def _row_keys(self, seeds):
@@ -160,7 +169,7 @@ class Engine:
                 result = reply.get(timeout=1.0)
                 break
             except queue.Empty:
-                if not self._thread.is_alive():
+                if not (self._thread.is_alive() and self._fin_thread.is_alive()):
                     raise RuntimeError(
                         f"inference worker died: {self._worker_error!r}"
                     )
@@ -176,7 +185,6 @@ class Engine:
             raise
 
     def _worker_loop(self):
-        np = self.np
         while True:
             batch = [self.requests.get()]  # block for the first request
             deadline = time.time() + self.args.linger_ms / 1e3
@@ -194,15 +202,30 @@ class Engine:
             labels = [r["label"] for r, _ in batch] + [0] * pad
             scales = [r["cfg_scale"] for r, _ in batch] + [1.0] * pad
             try:
-                imgs = np.asarray(self._run(seeds, labels, scales))
-                pngs = [self._to_png(imgs[i]) for i in range(n)]
-                for (_, reply), png in zip(batch, pngs):
-                    reply.put(png)
+                imgs = self._run(seeds, labels, scales)  # async dispatch
             except Exception as e:  # surface the error to every waiter
                 for _, reply in batch:
                     reply.put(e)
+            else:
+                self._finish_q.put((imgs, batch, n))
             self.stats["requests"] += n
             self.stats["batches"] += 1
+
+    def _finisher(self):
+        try:
+            np = self.np
+            while True:
+                imgs, batch, n = self._finish_q.get()
+                try:
+                    arr = np.asarray(imgs)  # block: device -> host
+                    for i, (_, reply) in enumerate(batch[:n]):
+                        reply.put(self._to_png(arr[i]))
+                except Exception as e:  # execution errors surface at transfer
+                    for _, reply in batch:
+                        reply.put(e)
+        except BaseException as e:  # liveness flag for submit()'s poll
+            self._worker_error = e
+            raise
 
     def _to_png(self, img) -> bytes:
         from PIL import Image

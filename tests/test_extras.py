@@ -146,3 +146,18 @@ def test_basiclogger_real_mlflow_backend(tmp_path):
     runs = mlflow.search_runs(search_all_experiments=True)
     assert len(runs) >= 1
     assert float(runs.iloc[0]["metrics.vae/recon_loss"]) == 0.5
+
+
+def test_compile_cache_dir_scoped_per_host():
+    """The persistent XLA cache dir must be scoped by the host fingerprint:
+    this JAX's XLA:CPU cache key omits the compiling host's CPU features,
+    so a shared directory serves AOT executables across machine profiles
+    (cpu_aot_loader warns of possible SIGILL).  See package __init__."""
+    import image_diffusion_tpu as pkg
+
+    fp = pkg._host_fingerprint()
+    assert len(fp) == 12 and int(fp, 16) >= 0  # short stable hex
+    assert fp == pkg._host_fingerprint()  # deterministic on one host
+    configured = jax.config.jax_compilation_cache_dir
+    if configured:  # IDTPU_COMPILE_CACHE= disables the cache entirely
+        assert configured.endswith(fp)
