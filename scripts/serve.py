@@ -106,7 +106,7 @@ class Engine:
         # Under sustained load the device runs batch k+1 while batch k's
         # pixels cross PCIe and compress on host.  maxsize bounds in-flight
         # device output buffers (2 batches).
-        self._finish_q: "queue.Queue[tuple[object, list, int]]" = queue.Queue(maxsize=2)
+        self._finish_q: "queue.Queue[tuple[object, list]]" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         self._fin_thread = threading.Thread(target=self._finisher, daemon=True)
@@ -207,7 +207,10 @@ class Engine:
                 for _, reply in batch:
                     reply.put(e)
             else:
-                self._finish_q.put((imgs, batch, n))
+                # batch holds only real requests (padding lives in the
+                # seeds/labels/scales lists), so the finisher iterates it
+                # directly — no separate count to thread through
+                self._finish_q.put((imgs, batch))
             self.stats["requests"] += n
             self.stats["batches"] += 1
 
@@ -215,13 +218,19 @@ class Engine:
         try:
             np = self.np
             while True:
-                imgs, batch, n = self._finish_q.get()
+                imgs, batch = self._finish_q.get()
+                answered = 0  # rows already replied with a PNG
                 try:
                     arr = np.asarray(imgs)  # block: device -> host
-                    for i, (_, reply) in enumerate(batch[:n]):
+                    for i, (_, reply) in enumerate(batch):
                         reply.put(self._to_png(arr[i]))
-                except Exception as e:  # execution errors surface at transfer
-                    for _, reply in batch:
+                        answered = i + 1
+                except Exception as e:
+                    # execution errors surface at transfer; a mid-batch PNG
+                    # failure must only reach the NOT-yet-answered rows —
+                    # answered rows' maxsize-1 reply queues may still be
+                    # full, and put() there would stall the whole finisher
+                    for _, reply in batch[answered:]:
                         reply.put(e)
         except BaseException as e:  # liveness flag for submit()'s poll
             self._worker_error = e

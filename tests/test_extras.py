@@ -155,9 +155,19 @@ def test_compile_cache_dir_scoped_per_host():
     (cpu_aot_loader warns of possible SIGILL).  See package __init__."""
     import image_diffusion_tpu as pkg
 
+    import string
+    from unittest import mock
+
     fp = pkg._host_fingerprint()
-    assert len(fp) == 12 and int(fp, 16) >= 0  # short stable hex
+    assert len(fp) == 12 and all(c in string.hexdigits for c in fp)
     assert fp == pkg._host_fingerprint()  # deterministic on one host
+    # different CPU feature sets must hash to different directories —
+    # that separation is the whole point of the fingerprint
+    with mock.patch(
+        "builtins.open",
+        mock.mock_open(read_data="flags\t: fake_isa_feature_set\n"),
+    ):
+        assert pkg._host_fingerprint() != fp
     configured = jax.config.jax_compilation_cache_dir
     if configured:  # IDTPU_COMPILE_CACHE= disables the cache entirely
         assert configured.endswith(fp)
