@@ -18,6 +18,19 @@ rate, so its vs_baseline uses a documented fwd-pass-derived estimate: the
 reference T4 samples 27*2*1000 UNet forwards in ~720s = 75 fwd/s; a train
 step costs ~3 forward-equivalents (fwd+bwd), giving ~25 samples/s
 estimated T4 training rate.
+
+Third/fourth JSON lines report the other half of the declared headline
+(BASELINE.json: "VAE enc/dec imgs/sec"): full-size 36M KL-VAE inference
+throughput in bf16 — `encode` exactly as the latent-extraction hot loop
+runs it (uint8 NHWC in, on-device normalize, sample=False, fp16 latents
+out; reference scripts/prepare_dataset.py:98-109) and `decode` exactly as
+the sampler's final stage runs it (fp32 latents -> images).  The reference
+publishes no extraction rate either, so vs_baseline uses the same
+effective-T4-throughput derivation as the train metric: the T4 sustains
+~1.37 TFLOP/s of model flops on this stack (986 model-TFLOP grid / 720 s,
+docs/mfu_r3.json), and encode/decode cost ~139/64 GFLOP per image (XLA
+cost analysis at batch 128), giving ~9.8 enc and ~21.3 dec imgs/s
+estimated on the T4.
 """
 
 import json
@@ -161,6 +174,83 @@ def kernel_check() -> dict:
     return results
 
 
+def vae_bench():
+    """VAE encode/decode inference throughput — the second half of the
+    declared headline metric (see module docstring for the T4 derivation).
+
+    Encode mirrors the production latent-extraction loop
+    (scripts/prepare_dataset.py / reference scripts/prepare_dataset.py:
+    98-109): uint8 NHWC batches in, on-device normalize, deterministic
+    (sample=False) posterior mean, fp16 latents out.  Decode mirrors the
+    sampler's final stage: fp32 latents -> fp32 images.  Batch 128 (the
+    extraction default), bf16 weights, jitted, warm.
+    """
+    from image_diffusion_tpu.core.config import VAEArch
+    from image_diffusion_tpu.models import build_vae
+
+    batch = 128
+    vae = build_vae(VAEArch(), dtype=jnp.bfloat16)
+    variables = vae.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 128, 128, 3), jnp.float32),
+    )
+
+    @jax.jit
+    def encode(batch_u8):
+        x = batch_u8.astype(jnp.float32) / 127.5 - 1.0
+        z, _, _ = vae.apply(variables, x, sample=False, method="encode")
+        return z.astype(jnp.float16)
+
+    @jax.jit
+    def decode(z):
+        return vae.apply(variables, z, False, method="decode").astype(
+            jnp.float32
+        )
+
+    rng = np.random.default_rng(3)
+    u8 = jnp.asarray(rng.integers(0, 256, (batch, 128, 128, 3)), jnp.uint8)
+    z = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 3)), jnp.float32)
+
+    # effective T4 model-flop rate implied by the reference's one published
+    # wall-clock (986 model-TFLOP grid / 720 s, docs/mfu_r3.json)
+    t4_eff_tflops = 986.0 / 720.0
+
+    for name, fn, arg in (("encode", encode, u8), ("decode", decode, z)):
+        lowered = fn.lower(arg).compile()
+        cost = lowered.cost_analysis()
+        gflop_per_img = cost.get("flops", 0.0) / batch / 1e9
+        gbytes = cost.get("bytes accessed", 0.0) / 1e9
+        wait(fn(arg))  # compile + warmup
+        wait(fn(arg))
+        t0 = time.time()
+        iters = 10
+        for _ in range(iters):
+            out = fn(arg)
+        wait(out)  # queue drains in order: all iters done
+        dt = (time.time() - t0) / iters
+        imgs_per_sec = batch / dt
+        est_t4 = t4_eff_tflops * 1e3 / gflop_per_img  # imgs/s on the T4
+        print(
+            json.dumps(
+                {
+                    "metric": f"vae_{name}_images_per_sec_per_chip",
+                    "value": round(imgs_per_sec, 1),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": round(imgs_per_sec / est_t4, 2),
+                }
+            )
+        )
+        print(
+            f"[bench] vae {name}: {dt*1e3:.2f} ms @ batch {batch} "
+            f"({imgs_per_sec:.0f} imgs/s/chip, {gflop_per_img:.1f} "
+            f"GFLOP/img, {gflop_per_img * imgs_per_sec / 1e3:.1f} TFLOP/s "
+            f"achieved, {gbytes:.1f} GB/batch -> HBM roofline "
+            f"{gbytes / 819.0 * 1e3:.1f} ms); T4 estimate ~{est_t4:.1f} "
+            f"imgs/s",
+            file=sys.stderr,
+        )
+
+
 def main():
     from image_diffusion_tpu.core.config import ScheduleConfig, UNetArch, VAEArch
     from image_diffusion_tpu.models import build_unet, build_vae
@@ -282,6 +372,8 @@ def main():
 if __name__ == "__main__":
     if "--check" in sys.argv:
         kernel_check()
+    elif "--vae-only" in sys.argv:  # dev mode: just the VAE enc/dec metric
+        vae_bench()
     else:
         # kernel parity first, as a driver-captured artifact on every bench
         # run (fast small compiles; exits nonzero on kernel divergence so a
@@ -299,3 +391,4 @@ if __name__ == "__main__":
         if check.returncode != 0:
             sys.exit(check.returncode)
         main()
+        vae_bench()

@@ -23,6 +23,7 @@ same image count and identical compute cost.
 
 from __future__ import annotations
 
+import math
 import os
 import threading
 from functools import partial
@@ -35,6 +36,29 @@ from ..core import checkpoint as ckpt
 from ..core.config import ScheduleConfig, UNetArch, VAEArch
 from ..models import build_unet, build_vae
 from ..ops import schedule as S
+
+
+# Prefetch-noise budget: "prefetch" mode materializes the whole T x B x h x
+# w x z fp32 step-noise block before the scan (332MB at the 27-image ddpm
+# grid — measured fastest, docs/loop_experiments_r3.json), but it grows
+# linearly in batch: 1.3GB at B=108, and serving's batch knob could hit
+# that silently.  Above this budget the sampler auto-switches to "step"
+# (in-body draws, O(B) memory, bit-identical values — step_noise is a pure
+# function of (key, t) either way).  The switch keys on SHAPES, which are
+# part of the jit cache key, so it can never serve a stale executable the
+# way an env-var flip could.  IDTPU_SAMPLE_NOISE forces a mode regardless.
+_PREFETCH_NOISE_LIMIT_BYTES = 512 << 20
+
+
+def _noise_mode_for(num_steps: int, noise_elems: int) -> str:
+    """Pick the ddpm noise strategy: the env override if set, else
+    "prefetch" while the full T-step noise block fits the budget."""
+    forced = os.environ.get("IDTPU_SAMPLE_NOISE")
+    if forced:
+        return forced
+    if num_steps * noise_elems * 4 > _PREFETCH_NOISE_LIMIT_BYTES:
+        return "step"
+    return "prefetch"
 
 
 # host-side tqdm updated from inside the scan via jax.debug.callback when
@@ -129,9 +153,12 @@ def _sample_loop(
         # and the best measured grid time of the seven-variant sweep.
         # "step" draws inside the body; "zero" bounds the RNG cost
         # (experiment only — changes semantics).  Read at trace time, like
-        # the kernel routing.
+        # the kernel routing.  Prefetch is auto-bounded by batch: the draw
+        # is in GLOBAL batch shape under shard_map (noise_batch), so the
+        # budget is checked against the global block, not the local slice.
         unroll = int(os.environ.get("IDTPU_SAMPLE_UNROLL", "2"))
-        noise_mode = os.environ.get("IDTPU_SAMPLE_NOISE", "prefetch")
+        noise_elems = (noise_batch or B) * math.prod(x_init.shape[1:])
+        noise_mode = _noise_mode_for(sched.num_steps, noise_elems)
         ts = jnp.arange(sched.num_steps - 1, -1, -1)
 
         if noise_mode == "prefetch":

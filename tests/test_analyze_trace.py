@@ -18,7 +18,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from analyze_trace import analyze  # noqa: E402
+from analyze_trace import TruncatedTraceError, analyze  # noqa: E402
 
 
 @pytest.fixture
@@ -66,6 +66,65 @@ def test_leaf_categories_and_gap(trace_dir, capsys):
 def test_missing_trace_dir_raises(tmp_path):
     with pytest.raises(SystemExit):
         analyze(str(tmp_path / "nope"))
+
+
+def _write_trace(tmp_path, events):
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    return str(tmp_path)
+
+
+def _loop_trace_events(n_recorded, span_end_of_other_track):
+    """A high-frequency loop track (tid 10, one 5us fusion per 10us step)
+    plus a sparse track (tid 11) whose last event pins the device span.
+    Truncation = the loop track's events stop before the span ends."""
+    meta = [{"ph": "M", "pid": 1, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}}]
+    loop = [
+        {"ph": "X", "pid": 1, "tid": 10, "ts": 10 * i, "dur": 5,
+         "name": "fusion.loop"}
+        for i in range(n_recorded)
+    ]
+    other = [{"ph": "X", "pid": 1, "tid": 11,
+              "ts": span_end_of_other_track - 5, "dur": 5, "name": "copy.1"}]
+    return meta + loop + other
+
+
+def test_truncated_trace_refused(tmp_path):
+    """Round 3's published-then-retracted 'latency-bound' conclusion came
+    from a trace whose event buffer overflowed (6,356 of 10,000 attention
+    invocations recorded, docs/mfu_r3.json trace_correction).  The tool
+    must now refuse that shape: a loop track recording only ~64% of the
+    device span."""
+    # loop track: 640 events ending at ts 6400; span pinned to 10000
+    trace = _write_trace(tmp_path, _loop_trace_events(640, 10_000))
+    with pytest.raises(TruncatedTraceError, match="TRUNCATED"):
+        analyze(trace)
+
+
+def test_complete_trace_accepted(tmp_path, capsys):
+    """Same structure, loop events covering the full span: accepted."""
+    trace = _write_trace(tmp_path, _loop_trace_events(1000, 10_000))
+    analyze(trace)
+    assert "n=  1000  fusion" in capsys.readouterr().out
+
+
+def test_expected_count_shortfall_refused(tmp_path):
+    """--expect name=count: the scan trip count gives an exact expected
+    invocation count; fewer recorded events means dropped events even if
+    coverage looks fine."""
+    trace = _write_trace(tmp_path, _loop_trace_events(1000, 10_000))
+    with pytest.raises(TruncatedTraceError, match="1000 recorded"):
+        analyze(trace, expects={"fusion": 2000})
+    analyze(trace, expects={"fusion": 1000})  # exact count: fine
+
+
+def test_allow_truncated_overrides(tmp_path, capsys):
+    trace = _write_trace(tmp_path, _loop_trace_events(640, 10_000))
+    analyze(trace, allow_truncated=True)
+    assert "n=   640  fusion" in capsys.readouterr().out
 
 
 def test_gap_attribution(trace_dir, capsys):

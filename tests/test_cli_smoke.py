@@ -167,7 +167,7 @@ log_interval: 2
 
     # ---- 4. train stage 2 ----
     diff_yaml = os.path.join(d, "diff.yaml")
-    _write_yaml(diff_yaml, f"""
+    diff_yaml_text = f"""
 z_dim: 3
 channels: [8, 16]
 mid_channels: [16, 16]
@@ -195,7 +195,8 @@ checkpoints_dir: {d}/ckpts
 logs_dir: {d}/logs
 seed: 7
 log_interval: 2
-""")
+"""
+    _write_yaml(diff_yaml, diff_yaml_text)
     run_cli([f"{SCRIPTS}/train_diffusion.py", "--config", diff_yaml, "--no-mlflow",
              "--use-cpu", "--experiment-name", "smoke"])
     unet_ckpt = f"{d}/ckpts/smoke/unet-epoch-00.ckpt"
@@ -213,6 +214,30 @@ log_interval: 2
              "--seed", "0", "--sampler", "ddim", "--steps", "4",
              "--out", out_png, "--use-cpu", "--progress"])
     assert os.path.getsize(out_png) > 0
+
+    # ---- 6b. cosine-schedule variant, end to end (the shipped
+    # configs/diff-kl-cos-32x32.yaml sets noise_type: cosine — reference
+    # modules/components.py:380-387; this drives train -> bundle -> ddpm
+    # sampling through that schedule so the cosine config is an executed
+    # path, not just unit-tested table math) ----
+    cos_yaml = os.path.join(d, "diff_cos.yaml")
+    _write_yaml(cos_yaml, diff_yaml_text.replace(
+        "noise_type: linear", "noise_type: cosine"))
+    run_cli([f"{SCRIPTS}/train_diffusion.py", "--config", cos_yaml,
+             "--no-mlflow", "--use-cpu", "--experiment-name", "smokecos"])
+    cos_bundle = f"{d}/ckpts/bundle_cos.ckpt"
+    run_cli([f"{SCRIPTS}/make_bundle.py", "--vae", vae_ckpt,
+             "--unet", f"{d}/ckpts/smokecos/unet-epoch-00.ckpt",
+             "--config", cos_yaml, "--out", cos_bundle])
+    cos_png = f"{d}/grid_cos.png"
+    run_cli([f"{SCRIPTS}/sample_grid.py", cos_bundle, "--cfg", "1", "3",
+             "--seed", "0", "--out", cos_png, "--use-cpu"])  # ddpm default
+    assert os.path.getsize(cos_png) > 0
+    # the bundle must carry the cosine schedule, not silently default
+    from image_diffusion_tpu.core.checkpoint import load_checkpoint
+
+    _, meta = load_checkpoint(cos_bundle)
+    assert meta["architecture"]["scheduler"]["noise_type"] == "cosine"
 
     # ---- 7. eval_fid ----
     proc = run_cli([f"{SCRIPTS}/eval_fid.py", bundle, "--real", blob,

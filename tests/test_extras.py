@@ -1,5 +1,7 @@
 """DDIM sampler, InceptionV3 features, preemption guard."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,7 +129,16 @@ def test_basiclogger_real_mlflow_backend(tmp_path):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    pytest.importorskip("mlflow")
+    pytest.importorskip(
+        "mlflow",
+        reason="mlflow is not importable here and cannot be obtained: the "
+        "image bakes no wheel (`pip install --no-index mlflow` finds no "
+        "distribution) and the environment has zero egress, so a network "
+        "install is impossible.  The MLflow BRANCH of BasicLogger is still "
+        "executed by test_basiclogger_mlflow_branch_with_fake below via a "
+        "vendored API-faithful fake; only the real-library integration "
+        "remains env-bound.",
+    )
     from image_diffusion_tpu.core.logging import BasicLogger
 
     logger = BasicLogger(str(tmp_path), "mlftest", no_mlflow=False, log_interval=1)
@@ -146,6 +157,59 @@ def test_basiclogger_real_mlflow_backend(tmp_path):
     runs = mlflow.search_runs(search_all_experiments=True)
     assert len(runs) >= 1
     assert float(runs.iloc[0]["metrics.vae/recon_loss"]) == 0.5
+
+
+def test_basiclogger_mlflow_branch_with_fake(tmp_path, monkeypatch):
+    """Execute BasicLogger's MLflow branch (reference modules/util.py:27-41
+    logs to MLflow-on-sqlite) against a vendored fake that implements the
+    exact API surface the logger uses — set_tracking_uri / set_experiment /
+    log_metric / log_params / log_figure.  The real library cannot exist in
+    this image (no wheel, zero egress; see the importorskip above), so this
+    pins the CALL PATTERN: every metric/param/figure goes to the tracker,
+    the CSV fallback stays off, and the tracking URI points at the
+    reference's sqlite layout."""
+    import sys
+    import types
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    calls = []
+    fake = types.ModuleType("mlflow")
+    fake.set_tracking_uri = lambda uri: calls.append(("uri", uri))
+    fake.set_experiment = lambda name: calls.append(("experiment", name))
+    fake.log_metric = lambda name, val, step: calls.append(
+        ("metric", name, val, step)
+    )
+    fake.log_params = lambda params: calls.append(("params", params))
+    fake.log_figure = lambda figure, name: calls.append(("figure", name))
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+
+    from image_diffusion_tpu.core.logging import BasicLogger
+
+    logger = BasicLogger(str(tmp_path), "mlffake", no_mlflow=False,
+                         log_interval=1)
+    assert logger._mlflow is fake
+    assert logger._csv_path is None  # tracker active -> no CSV fallback
+    logger.log_params(lr=1e-4, comment="fake mlflow path")
+    logger.log_metric("vae/recon_loss", 0.5, step=1)
+    logger.log_metrics({"unet/loss": 0.25, "unet/lr": 1e-5}, step=2)
+    fig = plt.figure()
+    plt.plot([0, 1], [1, 0])
+    logger.log_figure("plots/test.png", fig)
+
+    assert calls[0] == ("uri", f"sqlite:///{tmp_path}/mlflow.db")
+    assert calls[1] == ("experiment", "mlffake")
+    assert ("params", {"lr": 1e-4, "comment": "fake mlflow path"}) in calls
+    assert ("metric", "vae/recon_loss", 0.5, 1) in calls
+    assert ("metric", "unet/loss", 0.25, 2) in calls
+    assert ("metric", "unet/lr", 1e-5, 2) in calls
+    assert ("figure", "plots/test.png") in calls
+    # no CSV got written: the branch under test is the tracker, not the
+    # fallback
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".csv")]
 
 
 def test_compile_cache_dir_scoped_per_host():

@@ -243,3 +243,34 @@ def test_ddpm_noise_prefetch_equivalent(pipeline, monkeypatch):
     unr = np.asarray(pipeline.sample([1.0, 3.0], seed=11))
     jax.clear_caches()  # don't leak the knobbed trace to later tests
     np.testing.assert_allclose(base, unr, atol=1e-4)
+
+
+def test_noise_mode_auto_bounds_memory(pipeline, monkeypatch):
+    """The prefetch-noise block grows as T x B x latent: above the budget
+    the sampler must auto-switch to the O(B) in-body "step" draw instead of
+    silently materializing gigabytes (serving's batch knob can push B up).
+    The switch keys on shapes (part of the jit cache key), the env var
+    still forces a mode, and small batches keep the measured-fastest
+    prefetch default."""
+    from image_diffusion_tpu.pipelines import diffusion as D
+
+    # unit: decision thresholds (T=1000, 32x32x3 latents)
+    assert D._noise_mode_for(1000, 27 * 32 * 32 * 3) == "prefetch"  # 332MB
+    over = D._PREFETCH_NOISE_LIMIT_BYTES // 4 // 1000 + 1
+    assert D._noise_mode_for(1000, over) == "step"
+    monkeypatch.setenv("IDTPU_SAMPLE_NOISE", "prefetch")
+    assert D._noise_mode_for(1000, over) == "prefetch"  # forced override
+    monkeypatch.delenv("IDTPU_SAMPLE_NOISE")
+
+    # end-to-end: a batch over a (shrunken) budget traces the step path
+    chosen = []
+    real = D._noise_mode_for
+    monkeypatch.setattr(
+        D, "_noise_mode_for", lambda *a: chosen.append(real(*a)) or chosen[-1]
+    )
+    monkeypatch.setattr(D, "_PREFETCH_NOISE_LIMIT_BYTES", 1024)
+    jax.clear_caches()
+    imgs = pipeline.sample([1.0, 3.0], seed=11)
+    assert imgs.shape == (6, 32, 32, 3)
+    assert chosen == ["step"]
+    jax.clear_caches()  # don't leak the shrunken-budget trace
