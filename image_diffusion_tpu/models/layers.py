@@ -256,6 +256,11 @@ class SpatialSelfAttention(nn.Module):
             # sequences beat the blockwise kernel's online-softmax overhead
             # by ~9x (docs/packed_maxc_r2.json)
             attn = pk.packed_attention(q, k, v, num_heads=self.num_heads)
+        elif route == "banded":
+            # tile-straddling heads (C=384, d=48) repacked into 64-lane
+            # bands so the 128-lane grouped contraction applies
+            # (IDTPU_PACKED_BAND experiment; ops/pallas/attention.py)
+            attn = pk.banded_packed_attention(q, k, v, num_heads=self.num_heads)
         else:
             # (B, N, H*d) -> (B, heads, N, d); contiguous head split matches
             # the reference einops "(h c)" convention.

@@ -42,6 +42,8 @@ from contextlib import contextmanager
 from .attention import (
     _group_width,
     attention,
+    band_width,
+    banded_packed_attention,
     flash_attention,
     packed_attention,
     reference_attention,
@@ -50,6 +52,8 @@ from .attention import (
 
 __all__ = [
     "attention",
+    "band_width",
+    "banded_packed_attention",
     "flash_attention",
     "packed_attention",
     "reference_packed_attention",
@@ -171,6 +175,8 @@ def site_route(C: int, num_heads: int) -> str:
     if C <= packed_max_c():
         if _site_grouping_ok(C, num_heads):
             return "packed"
+        if _site_banding_ok(C, num_heads):
+            return "banded"
         return "xla"  # ungrouped exclusion: padded XLA einsum, not flash
     return "flash" if mode == "all" else "xla"
 
@@ -179,6 +185,19 @@ def _site_grouping_ok(C: int, num_heads: int) -> bool:
     if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED", "1") != "1" or C <= 128:
         return True
     return _group_width(C, C // num_heads) == 128
+
+
+def _site_banding_ok(C: int, num_heads: int) -> bool:
+    """True when a tile-straddling site (C=384, d=48) should repack its
+    heads into `band_width` lane bands and take the packed kernel at the
+    banded width (`banded_packed_attention`): measurement experiment
+    IDTPU_PACKED_BAND=1 (default off — it must beat the 0.885s/50-step XLA
+    routing, docs/attn_experiments_r3.json, to earn the default)."""
+    if os.environ.get("IDTPU_PACKED_BAND", "0") != "1":
+        return False
+    d = C // num_heads
+    banded_c = num_heads * band_width(d)
+    return banded_c % 128 == 0 and banded_c <= packed_max_c()
 
 
 # --- attention-site accounting ------------------------------------------
@@ -264,6 +283,11 @@ def executed_attention_flops(
     for B, N, C, h, route in sites:
         if route == "packed":
             total += packed_site_flops(B, N, C, h, backward=backward)
+        elif route == "banded":
+            # the banded repack runs the packed kernel at C' = h * band
+            total += packed_site_flops(
+                B, N, h * band_width(C // h), h, backward=backward
+            )
         elif route == "flash":
             total += 2 * (2 * B * h * N * N * 128)  # fwd only; bwd is XLA
     return total

@@ -212,6 +212,46 @@ def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     )(q, k, v)
 
 
+def band_width(d: int) -> int:
+    """Smallest 128-dividing lane band that holds a d-wide head: the
+    repack target for heads that straddle the 128-lane contraction tile
+    (d=48 -> 64)."""
+    return next(w for w in (16, 32, 64, 128) if w >= d)
+
+
+def banded_packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
+    """Packed attention for head widths that straddle the 128-lane tile
+    (C=384, d=48): repack each head into a `band_width` lane band (48 -> 64,
+    zero-padded) so `_group_width` sees a clean 128-lane grouping (2 heads
+    per group at d=48) instead of falling back to full-C-width masked
+    matmuls.
+
+    Executed MXU work per head becomes 2*N^2*128 per matmul — the same
+    lane floor as the padded XLA einsum — but the score matrices stay in
+    VMEM (the XLA path materializes (B,h,N,N) scores plus two head
+    transposes in HBM).  Correctness: padded q/k lanes are zero so scores
+    are exact; padded v lanes produce zero output lanes, dropped on
+    unpack; softmax normalizes per row independent of the layout.  The
+    true 1/sqrt(d) scale is passed explicitly (the banded layout's
+    C//num_heads would give 1/sqrt(band)).
+
+    Round-4 measurement experiment (VERDICT r3 stretch): routed via
+    site_route "banded" under IDTPU_PACKED_BAND; kept only if it beats the
+    0.885s/50-step XLA routing (docs/attn_experiments_r3.json)."""
+    B, N, C = q.shape
+    d = C // num_heads
+    band = band_width(d)
+    scale = 1.0 / math.sqrt(d)
+
+    def pack(t):
+        t = t.reshape(B, N, num_heads, d)
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, band - d)))
+        return t.reshape(B, N, num_heads * band)
+
+    out = _packed_forward(pack(q), pack(k), pack(v), num_heads, scale, interpret)
+    return out.reshape(B, N, num_heads, band)[..., :d].reshape(B, N, C)
+
+
 def reference_packed_attention(q, k, v, num_heads: int, scale: float):
     """XLA reference for the packed layout (head split + sdpa + merge)."""
     B, N, C = q.shape

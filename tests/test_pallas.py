@@ -203,8 +203,55 @@ def test_site_route(monkeypatch):
         # opt-out restores the round-2 all-packed routing
         monkeypatch.setenv("IDTPU_PACKED_REQUIRE_GROUPED", "0")
         assert pk.site_route(384, 8) == "packed"
+        # banded repack experiment (r4): straddling heads (d=48) repacked
+        # into 64-lane bands take the packed kernel at C'=512
+        monkeypatch.delenv("IDTPU_PACKED_REQUIRE_GROUPED", raising=False)
+        monkeypatch.setenv("IDTPU_PACKED_BAND", "1")
+        assert pk.site_route(384, 8) == "banded"
+        assert pk.site_route(256, 8) == "packed"  # groupable sites unchanged
+        # banded C above the packed ceiling falls back to xla
+        monkeypatch.setenv("IDTPU_PACKED_MAX_C", "384")
+        assert pk.site_route(384, 8) == "xla"
+        monkeypatch.delenv("IDTPU_PACKED_MAX_C")
+        monkeypatch.delenv("IDTPU_PACKED_BAND")
     monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
     assert pk.site_route(128, 8) == "xla"
+
+
+def test_banded_packed_attention_matches_reference():
+    """The d=48 banded repack (C=384, 8 heads -> 64-lane bands, C'=512)
+    must equal the reference head-split attention: padded q/k lanes add
+    zero to scores, padded v lanes are dropped on unpack, and the true
+    1/sqrt(48) scale is used (not 1/sqrt(64))."""
+    from image_diffusion_tpu.ops.pallas.attention import (
+        banded_packed_attention,
+        reference_packed_attention,
+    )
+
+    key = jax.random.key(5)
+    B, N, C, heads = 2, 64, 384, 8
+    q = jax.random.normal(key, (B, N, C), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, N, C), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, N, C), jnp.float32)
+    scale = 1.0 / np.sqrt(C // heads)
+
+    ref = reference_packed_attention(q, k, v, heads, scale)
+    got = jax.jit(
+        lambda q, k, v: banded_packed_attention(
+            q, k, v, num_heads=heads, interpret=True
+        )
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    # gradients flow through the repack wrapper (pad/reshape are linear)
+    g_ref = jax.grad(lambda q: jnp.mean(
+        reference_packed_attention(q, q, q, heads, scale) ** 2))(q)
+    g_got = jax.grad(lambda q: jnp.mean(banded_packed_attention(
+        q, q, q, num_heads=heads, interpret=True) ** 2))(q)
+    a, b = np.asarray(g_got).ravel(), np.asarray(g_ref).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999
 
 
 def test_fp32_mode_never_hits_pallas_kernels(monkeypatch):

@@ -15,20 +15,27 @@ learns class-conditional generation at full model size on a real chip:
      anisotropy r = mean|dI/dx| / (mean|dI/dx| + mean|dI/dy|):
      class 0 -> r near 0, class 1 -> r near 1, class 2 -> r near 0.5.
 
-  5. Compute a GENERATIVE FID through the full stack on chip — sample a
-     batch of images, extract InceptionV3 pool3 features, Frechet distance
-     against a held-out synthetic dev set (the metric the reference
-     explicitly could not measure: "sampling too slow",
-     reference README.md:42).  Weights come from --fid-weights, or a
-     random-init oracle-layout InceptionV3 file is generated (same
-     published pt_inception key naming; random features still demand the
-     whole sampling -> features -> Frechet machinery and give a finite,
-     reproducible number).  The bundle + dev set + weights are left in
-     --out so scripts/eval_fid.py can reproduce the number standalone.
+  5. Compute BOTH quality metrics through the full stack on chip:
+     * RECONSTRUCTION FID over the held-out dev set — the reference's
+       actual published headline (~72 KL / ~74 VQ, reference README.md:18,
+       computed at trainers/vae_trainer.py:354-371): dev images vs their
+       VAE reconstructions (reparametrized forward, clamp, [0,1] map —
+       eval_step mirrors the reference loop exactly).
+     * GENERATIVE FID — sample >= 1000 images (dpm-20 by default: FID's
+       small-sample bias makes a few hundred images a capability demo,
+       not a number), extract InceptionV3 pool3 features, Frechet
+       distance against the same dev set (the metric the reference
+       explicitly could not measure: "sampling too slow", README.md:42).
+     Weights come from --fid-weights, or a random-init oracle-layout
+     InceptionV3 file is generated (same published pt_inception key
+     naming; random features still demand the whole sampling -> features
+     -> Frechet machinery and give a finite, reproducible number).  The
+     bundle + dev set + weights are left in --out so scripts/eval_fid.py
+     can reproduce the generative number standalone.
 
-Writes a JSON report (accuracy per class, losses, FID) and the sampled
-grid.  Pass/fail: conditional accuracy >= 0.8 overall at the default
-budget.
+Writes a JSON report (accuracy per class, losses, both FIDs) and the
+sampled grid.  Pass/fail: conditional accuracy >= 0.8 overall at the
+default budget.
 
     python tools/e2e_synthetic_run.py --out /tmp/e2e --vae-steps 1000 \
         --unet-steps 5000
@@ -99,9 +106,14 @@ def main():
     p.add_argument("--fid-weights", type=str, default=None,
                    help="InceptionV3 weight file; generated (random oracle "
                         "layout) when omitted.")
-    p.add_argument("--fid-images", type=int, default=270,
-                   help="Generated images for the FID estimate (0 disables).")
-    p.add_argument("--fid-steps", type=int, default=50, help="DDIM steps for FID sampling.")
+    p.add_argument("--fid-images", type=int, default=1002,
+                   help="Generated images for the FID estimate (0 disables); "
+                        ">= 1000 keeps FID's small-sample bias in check.")
+    p.add_argument("--fid-steps", type=int, default=20,
+                   help="Sampler steps for FID sampling.")
+    p.add_argument("--fid-sampler", default="dpm", choices=["dpm", "ddim"],
+                   help="Few-step sampler for FID generation (dpm-20 "
+                        "measured 62.7 img/s on one v5e chip).")
     p.add_argument("--resume", action="store_true",
                    help="Resume both stages from the newest per-epoch "
                         "checkpoints in --out (recovery after a device/"
@@ -195,6 +207,71 @@ def main():
     print(f"[vae] {report['vae_steps']} steps in {report['vae_train_s']}s; "
           f"recon={report['vae_final_recon']:.4f}", flush=True)
 
+    # ---- 2b. FID machinery + RECONSTRUCTION FID on the held-out dev set
+    # (the reference's published quality headline: ~72 KL / ~74 VQ,
+    # reference README.md:18, computed at trainers/vae_trainer.py:354-371:
+    # reparametrized forward, clamp to [-1,1], [0,1] map, real features
+    # ingested once) ----
+    fid = None
+    if args.fid_images > 0:
+        from image_diffusion_tpu.models.fid import FID
+        from image_diffusion_tpu.models.inception import try_load_inception_fid
+
+        weights = args.fid_weights
+        if weights is None:
+            # oracle-layout random InceptionV3 (published pt_inception key
+            # naming incl. bn running stats); saved for standalone
+            # scripts/eval_fid.py reproduction
+            import torch
+
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+            from torch_oracles import random_inception
+
+            weights = os.path.join(args.out, "inception_oracle.pt")
+            torch.save(random_inception(seed=11).state_dict(), weights)
+        feature_fn = try_load_inception_fid(weights)
+        assert feature_fn is not None, f"could not load FID weights {weights}"
+        fid = FID(feature_fn, dim=2048)
+        report["fid_weights"] = os.path.basename(weights)
+
+        # held-out dev set: fresh draws from the same generative process;
+        # its real-side statistics are shared by BOTH FIDs
+        dev_imgs, _ = make_dataset(max(args.fid_images // 3, 90), seed=777)
+        np.save(os.path.join(args.out, "e2e_dev.npy"), dev_imgs)
+        for i in range(0, len(dev_imgs), 90):
+            chunk = dev_imgs[i : i + 90].astype(np.float32) / 255.0
+            n_valid = len(chunk)
+            if n_valid < 90:
+                # pad-and-mask the tail (one compiled feature executable;
+                # update_real_once drops pad rows via n_valid) instead of
+                # silently shrinking the real statistics
+                pad = np.zeros((90 - n_valid, *chunk.shape[1:]), np.float32)
+                chunk = np.concatenate([chunk, pad])
+            fid.update_real_once(chunk, n_valid=n_valid)
+
+        t0 = time.time()
+        eb = args.batch
+        for i in range(0, len(dev_imgs), eb):
+            chunk = dev_imgs[i : i + eb]
+            n_valid = len(chunk)
+            if n_valid < eb:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((eb - n_valid, *chunk.shape[1:]), np.uint8)]
+                )
+            x_hat, _, _, _ = vt.eval_step(
+                vt.state.vae_params, vt.state.codebook, jnp.asarray(chunk),
+                jax.random.fold_in(jax.random.key(9), i), n_valid,
+            )
+            fid.update_fake(
+                ((np.asarray(x_hat) + 1.0) / 2.0).clip(0, 1), n_valid=n_valid
+            )
+        report["recon_fid"] = round(float(fid.compute()), 3)
+        report["recon_fid_images"] = int(len(dev_imgs))
+        fid.reset_fake()
+        print(f"[fid] reconstruction FID {report['recon_fid']} over "
+              f"{len(dev_imgs)} dev images ({time.time() - t0:.1f}s)",
+              flush=True)
+
     # ---- 3. latents (true labels — no CLIP needed for synthetic classes) ----
     @jax.jit
     def encode(params, x_u8):
@@ -252,41 +329,9 @@ def main():
                         [args.cfg_scale] * args.sample_per_class)
     fig.savefig(os.path.join(args.out, "e2e_grid.png"), bbox_inches="tight")
 
-    # ---- 6. generative FID on chip (sampling -> features -> Frechet) ----
-    if args.fid_images > 0:
-        from image_diffusion_tpu.models.fid import FID
-        from image_diffusion_tpu.models.inception import try_load_inception_fid
-
-        weights = args.fid_weights
-        if weights is None:
-            # oracle-layout random InceptionV3 (published pt_inception key
-            # naming incl. bn running stats); saved for standalone
-            # scripts/eval_fid.py reproduction
-            import torch
-
-            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-            from torch_oracles import random_inception
-
-            weights = os.path.join(args.out, "inception_oracle.pt")
-            torch.save(random_inception(seed=11).state_dict(), weights)
-        feature_fn = try_load_inception_fid(weights)
-        assert feature_fn is not None, f"could not load FID weights {weights}"
-        fid = FID(feature_fn, dim=2048)
-
-        # held-out dev set: fresh draws from the same generative process
-        dev_imgs, _ = make_dataset(max(args.fid_images // 3, 90), seed=777)
-        np.save(os.path.join(args.out, "e2e_dev.npy"), dev_imgs)
-        for i in range(0, len(dev_imgs), 90):
-            chunk = dev_imgs[i : i + 90].astype(np.float32) / 255.0
-            n_valid = len(chunk)
-            if n_valid < 90:
-                # pad-and-mask the tail (one compiled feature executable;
-                # update_real_once drops pad rows via n_valid) instead of
-                # silently shrinking the real statistics
-                pad = np.zeros((90 - n_valid, *chunk.shape[1:]), np.float32)
-                chunk = np.concatenate([chunk, pad])
-            fid.update_real_once(chunk, n_valid=n_valid)
-
+    # ---- 6. generative FID on chip (sampling -> features -> Frechet),
+    # >= 1000 images by default against the SAME dev real statistics ----
+    if fid is not None:
         pipe.to_checkpoint(os.path.join(args.out, "e2e_bundle.ckpt"))
         t0 = time.time()
         done, seed = 0, 1000
@@ -294,7 +339,7 @@ def main():
         while done < args.fid_images:
             fimgs = np.asarray(pipe.sample(
                 [args.cfg_scale] * (per_call // 3), seed=seed,
-                sampler="ddim", num_inference_steps=args.fid_steps,
+                sampler=args.fid_sampler, num_inference_steps=args.fid_steps,
             ))
             take = min(len(fimgs), args.fid_images - done)
             fid.update_fake(((fimgs[:take] + 1.0) / 2.0).clip(0, 1))
@@ -303,9 +348,8 @@ def main():
         fid_dt = time.time() - t0
         report["generative_fid"] = round(float(fid.compute()), 3)
         report["fid_images"] = done
-        report["fid_sampler"] = f"ddim-{args.fid_steps}"
+        report["fid_sampler"] = f"{args.fid_sampler}-{args.fid_steps}"
         report["fid_img_per_sec"] = round(done / fid_dt, 2)
-        report["fid_weights"] = os.path.basename(weights)
         print(f"[fid] generative FID {report['generative_fid']} over {done} "
               f"images ({report['fid_img_per_sec']} img/s)", flush=True)
 

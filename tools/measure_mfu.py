@@ -110,7 +110,7 @@ def train_step_mfu(trace_dir=None, remat=None):
     attn_model = sum(
         pk.model_attention_flops(B_, N_, C_, h_, backward=True)
         for B_, N_, C_, h_, r_ in sites
-        if r_ in ("packed", "flash")
+        if r_ in ("packed", "banded", "flash")
     )
 
     # the step donates `state` — rebind it every call (bench.py pattern)
@@ -308,7 +308,7 @@ def sampler_mfu(trace_dir=None):
             n * pk.model_attention_flops(B_, N_, C_, h_)
             for n, sites in ((T, step_sites), (1, dec_sites))
             for B_, N_, C_, h_, r_ in sites
-            if r_ in ("packed", "flash")
+            if r_ in ("packed", "banded", "flash")
         )
 
         args = (pipe.unet, pipe.unet_variables, pipe.vae,
