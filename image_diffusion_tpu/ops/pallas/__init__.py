@@ -190,12 +190,15 @@ def _site_grouping_ok(C: int, num_heads: int) -> bool:
 def _site_banding_ok(C: int, num_heads: int) -> bool:
     """True when a tile-straddling site (C=384, d=48) should repack its
     heads into `band_width` lane bands and take the packed kernel at the
-    banded width (`banded_packed_attention`): measurement experiment
-    IDTPU_PACKED_BAND=1 (default off — it must beat the 0.885s/50-step XLA
-    routing, docs/attn_experiments_r3.json, to earn the default)."""
+    banded width (`banded_packed_attention`).  Measured and LOST: 0.9528s
+    vs 0.8885s on the 50-step grid (docs/banded_r4.json) — XLA runs the
+    d=48 einsums near peak already — so IDTPU_PACKED_BAND=1 stays a
+    default-off experiment flag."""
     if os.environ.get("IDTPU_PACKED_BAND", "0") != "1":
         return False
     d = C // num_heads
+    if d > 128:  # no 128-dividing band holds the head (VAE's 1-head C=512)
+        return False
     banded_c = num_heads * band_width(d)
     return banded_c % 128 == 0 and banded_c <= packed_max_c()
 

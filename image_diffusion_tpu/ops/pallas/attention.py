@@ -235,9 +235,13 @@ def banded_packed_attention(q, k, v, *, num_heads: int, interpret: bool = False)
     true 1/sqrt(d) scale is passed explicitly (the banded layout's
     C//num_heads would give 1/sqrt(band)).
 
-    Round-4 measurement experiment (VERDICT r3 stretch): routed via
-    site_route "banded" under IDTPU_PACKED_BAND; kept only if it beats the
-    0.885s/50-step XLA routing (docs/attn_experiments_r3.json)."""
+    Round-4 measurement (VERDICT r3 stretch): MEASURED LOSS — 0.9528s vs
+    0.8885s on the 50-step ddim grid (docs/banded_r4.json); XLA's batched
+    d=48 einsums already run near peak (0.12s of the 1000-step grid,
+    docs/sampler_residue_r4.json), so the repack traffic + 512-lane AV
+    accumulate only add cost.  Stays env-gated OFF (IDTPU_PACKED_BAND=1)
+    as the measured record; useful only if a straddling site ever becomes
+    score-IO-bound."""
     B, N, C = q.shape
     d = C // num_heads
     band = band_width(d)

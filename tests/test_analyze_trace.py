@@ -137,3 +137,44 @@ def test_gap_attribution(trace_dir, capsys):
     assert "n=     1  avg    60.0us  before copy" in out
     # fusions ran back-to-back: no gap line should attribute idle to them
     assert "before fusion" not in out
+
+
+def test_hlo_join_parser():
+    """tools/trace_sampler_r4's HLO joiner: instruction names, HBM byte
+    estimates (scoped-memory S(1)/S(2) buffers never touch HBM and count
+    zero), operand resolution, and op_name-metadata classification — the
+    machinery behind docs/sampler_residue_r4.json's per-family table."""
+    from trace_sampler_r4 import classify, fusion_bytes, parse_hlo, shape_bytes
+
+    # layout annotations carry parens (tiling) and scoped-memory markers
+    assert shape_bytes("bf16[54,1024,256]{2,1,0:T(8,128)(2,1)}") == \
+        54 * 1024 * 256 * 2
+    assert shape_bytes("bf16[54,1024,256]{2,1,0:T(8,128)(2,1)S(1)}") == 0
+    assert shape_bytes("(f32[8]{0}, s32[2,2]{1,0:T(2,2)S(2)})") == 32
+
+    hlo = """
+HloModule jit_f, entry_computation_layout={()->f32[]}
+
+%body (p: f32[2,2]) -> f32[2,2] {
+  %p.1 = f32[4,4]{1,0:T(8,128)} parameter(0)
+  %attn_0.9 = bf16[2,8,16]{2,1,0:T(8,128)(2,1)} custom-call(%p.1), custom_call_target="tpu_custom_call", metadata={op_name="jit(f)/while/body/UNet/down_block_0/attn_0/pallas_call" source_file="/repo/ops/pallas/attention.py" source_line=205}
+  %fusion.7 = f32[4,4]{1,0:T(8,128)S(1)} fusion(%attn_0.9, %p.1), kind=kOutput, calls=%fc.1, metadata={op_name="jit(f)/while/body/UNet/mid/first_half_0/conv/conv/conv_general_dilated" source_file="/x/linear.py" source_line=700}
+  ROOT %convolution_add_fusion.3 = bf16[2,4]{1,0:T(8,128)(2,1)} fusion(%fusion.7), kind=kOutput, calls=%fc.2, metadata={op_name="jit(f)/VAE.decode/decoder/attn_1/out_proj/dense/dot_general" source_file="/x/linear.py" source_line=287}
+}
+"""
+    instrs = parse_hlo(hlo)
+    # result bytes: S(1) fusion counts zero, HBM buffers count fully
+    assert instrs["p.1"][0] == 4 * 4 * 4
+    assert instrs["attn_0.9"][0] == 2 * 8 * 16 * 2
+    assert instrs["fusion.7"][0] == 0
+    # operand resolution: fusion.7 reads attn_0.9 (HBM) + p.1 (HBM)
+    assert fusion_bytes("fusion.7", instrs) == 0 + 2 * 8 * 16 * 2 + 64
+    # op_name classification
+    assert classify("attn_0.9", instrs) == "attention-kernel"
+    assert classify("fusion.7", instrs) == "conv"
+    assert classify("convolution_add_fusion.3", instrs) == "attn-projection"
+    assert classify("nonexistent.1", instrs) == "unmapped:nonexistent"
+    assert classify("copy-done.5", instrs) == "copy"
+    # loop-vs-once scoping key: the joiner reads "while" from op_name
+    assert "while" in instrs["attn_0.9"][2]
+    assert "while" not in instrs["convolution_add_fusion.3"][2]

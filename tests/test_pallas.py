@@ -213,6 +213,9 @@ def test_site_route(monkeypatch):
         monkeypatch.setenv("IDTPU_PACKED_MAX_C", "384")
         assert pk.site_route(384, 8) == "xla"
         monkeypatch.delenv("IDTPU_PACKED_MAX_C")
+        # heads wider than a 128-lane band cannot repack (VAE decode's
+        # 1-head C=512 attention): xla, not a crash
+        assert pk.site_route(512, 1) == "xla"
         monkeypatch.delenv("IDTPU_PACKED_BAND")
     monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
     assert pk.site_route(128, 8) == "xla"
