@@ -77,7 +77,7 @@ def _tick_progress(shard=0):
 @partial(
     jax.jit,
     static_argnames=("unet_model", "vae_model", "quantize", "sampler", "eta",
-                     "progress", "noise_batch", "data_axis"),
+                     "progress", "noise_batch", "data_axis", "output"),
 )
 def _sample_loop(
     unet_model,
@@ -97,6 +97,7 @@ def _sample_loop(
     noise_batch: int | None = None,
     data_axis: str | None = None,
     row_keys: jax.Array | None = None,
+    output: str = "float32",
 ) -> jax.Array:
     B = x_init.shape[0]
     scales = cfg_scales.reshape(B, 1, 1, 1).astype(jnp.float32)
@@ -220,6 +221,15 @@ def _sample_loop(
         raise ValueError(f"unknown sampler {sampler!r}")
 
     imgs = vae_model.apply(vae_variables, x0, quantize, method="decode")
+    if output == "uint8":
+        # [-1,1] -> u8 pixels ON DEVICE, in core/plotting.py:to_uint8's
+        # exact op sequence (clip((x+1)/2)*255, truncate) so the bytes
+        # match a host-side conversion bit-for-bit.  This is the
+        # production transfer shape: the link moves 4x fewer bytes than
+        # f32 images (decode bench: 169 ms f32 vs 82 ms u8 per 128-batch
+        # on the eager-materializing axon tunnel — bench.py vae_bench).
+        x = imgs.astype(jnp.float32)
+        return (jnp.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return imgs.astype(jnp.float32)
 
 
@@ -275,9 +285,13 @@ class DiffusionPipeline:
         key=None,
         mesh=None,
         row_keys=None,
+        output: str = "float32",
     ) -> jax.Array:
         """Sample one explicit batch: per-row class labels, guidance scales,
-        and initial latents -> (B, H, W, 3) images in [-1, 1].
+        and initial latents -> (B, H, W, 3) images in [-1, 1]
+        (`output="float32"`, default) or as [0, 255] uint8 pixels converted
+        on device (`output="uint8"` — to_uint8-bit-identical, 4x less link
+        traffic; serving uses it since PNG encoding wants u8 anyway).
 
         mesh: optional ('data', ...) Mesh — the batch shards over 'data'
         (must divide it; serving picks batch sizes accordingly) and runs
@@ -326,6 +340,7 @@ class DiffusionPipeline:
                         None if row_keys is None
                         else jax.device_put(row_keys, sh)
                     ),
+                    output=output,
                 )
             return _sample_loop(
                 self.unet,
@@ -343,11 +358,12 @@ class DiffusionPipeline:
                 eta,
                 False,
                 row_keys=row_keys,
+                output=output,
             )
 
     def _sharded_sample(self, mesh, unet_vars, vae_vars, x_init, labels,
                         scales, key1, quantize, sampler, timesteps, eta,
-                        progress, B_pad, row_keys=None):
+                        progress, B_pad, row_keys=None, output="float32"):
         """Run the sampler per-shard under shard_map (Manual mesh axes — the
         layout the Pallas kernels require; GSPMD cannot auto-partition
         Mosaic custom calls).  Embarrassingly parallel over the image batch,
@@ -363,7 +379,7 @@ class DiffusionPipeline:
         cache_key = (
             mesh, sampler, eta, progress, quantize, B_pad,
             None if timesteps is None else tuple(timesteps.tolist()),
-            row_keys is not None,
+            row_keys is not None, output,
         )
         with self._shard_cache_lock:
             fn = self._shard_sample_cache.get(cache_key)
@@ -374,6 +390,7 @@ class DiffusionPipeline:
                             self.unet, uv, self.vae, vv, self.sched,
                             x, lbl, s, k1, quantize, sampler, timesteps, eta,
                             progress, noise_batch=B_pad, data_axis="data",
+                            output=output,
                         )
 
                     in_specs = (P(), P(), P("data"), P("data"), P("data"), P())
@@ -385,6 +402,7 @@ class DiffusionPipeline:
                             self.unet, uv, self.vae, vv, self.sched,
                             x, lbl, s, k1, quantize, sampler, timesteps, eta,
                             progress, data_axis="data", row_keys=rk,
+                            output=output,
                         )
 
                     in_specs = (P(), P(), P("data"), P("data"), P("data"),

@@ -86,6 +86,42 @@ def test_sample_batch_per_row_independence(pipeline):
     np.testing.assert_array_equal(np.asarray(pair), np.asarray(again))
 
 
+def test_sample_batch_uint8_output_bit_matches_host_conversion(pipeline):
+    """output="uint8" (serving's transfer shape: 4x fewer link bytes) must
+    reproduce core.plotting.to_uint8 of the float output bit-for-bit —
+    clients get byte-identical PNGs whichever side converts."""
+    from image_diffusion_tpu.core.plotting import to_uint8
+
+    x = jax.random.normal(jax.random.key(11), (2, *pipeline.latent_shape))
+    f32 = pipeline.sample_batch([0, 1], [2.0, 3.0], x, sampler="dpm",
+                                num_inference_steps=4)
+    u8 = pipeline.sample_batch([0, 1], [2.0, 3.0], x, sampler="dpm",
+                               num_inference_steps=4, output="uint8")
+    assert u8.dtype == jnp.uint8 and u8.shape == f32.shape
+    np.testing.assert_array_equal(np.asarray(u8), to_uint8(np.asarray(f32)))
+
+
+def test_sample_batch_uint8_sharded_matches_plain(pipeline):
+    """The sharded path threads output= through its cached shard_map."""
+    from image_diffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    B = jax.device_count()
+    x = jax.random.normal(jax.random.key(12), (B, *pipeline.latent_shape))
+    labels = jnp.arange(B, dtype=jnp.int32) % 3
+    scales = jnp.full((B,), 2.0, jnp.float32)
+    sharded = pipeline.sample_batch(labels, scales, x, sampler="dpm",
+                                    num_inference_steps=3, mesh=mesh,
+                                    output="uint8")
+    plain = pipeline.sample_batch(labels, scales, x, sampler="dpm",
+                                  num_inference_steps=3, output="uint8")
+    assert sharded.dtype == jnp.uint8
+    # u8 quantization tolerates the sharded path's fusion reassociation
+    # everywhere except values razor-close to a bin edge; allow 1 code
+    diff = np.abs(np.asarray(sharded, np.int16) - np.asarray(plain, np.int16))
+    assert diff.max() <= 1
+
+
 def test_scan_cfg_matches_two_pass_python_loop(pipeline):
     """The fused 2x-batched scan must reproduce the reference sampling
     semantics (two sequential UNet passes + ancestral step per iteration,
