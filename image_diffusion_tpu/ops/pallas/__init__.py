@@ -45,8 +45,10 @@ from .attention import (
     band_width,
     banded_packed_attention,
     flash_attention,
+    fused_site_attention,
     packed_attention,
     reference_attention,
+    reference_fused_site,
     reference_packed_attention,
 )
 
@@ -55,7 +57,9 @@ __all__ = [
     "band_width",
     "banded_packed_attention",
     "flash_attention",
+    "fused_site_attention",
     "packed_attention",
+    "reference_fused_site",
     "reference_packed_attention",
     "reference_attention",
     "attention_enabled",
@@ -157,7 +161,7 @@ def attention_enabled() -> bool:
     return attention_mode() != "off"
 
 
-def site_route(C: int, num_heads: int) -> str:
+def site_route(C: int, num_heads: int, N: int | None = None) -> str:
     """Per-attention-site kernel routing under the current context:
     "packed" (lane-packed kernel), "flash" (blockwise kernel), or "xla".
 
@@ -174,11 +178,41 @@ def site_route(C: int, num_heads: int) -> str:
         return "xla"
     if C <= packed_max_c():
         if _site_grouping_ok(C, num_heads):
+            if _fused_site_ok(N):
+                return "fused"
             return "packed"
         if _site_banding_ok(C, num_heads):
             return "banded"
         return "xla"  # ungrouped exclusion: padded XLA einsum, not flash
     return "flash" if mode == "all" else "xla"
+
+
+def _fused_site_ok(N: int | None = None) -> bool:
+    """True when a packed-eligible site should take the FULLY-FUSED kernel
+    (q/k/v/out projections + attention + residual in one Pallas call,
+    `fused_site_attention`) instead of packed.  Sampling-context only: the
+    fused kernel's backward is an XLA recompute of the whole site, while
+    training's packed route has a real Pallas backward.  Round-4
+    measurement (docs/fused_site_r4.json): the standalone projection
+    fusions ran at 51% MFU (docs/sampler_residue_r4.json); in-kernel they
+    chain with the attention matmuls under one dispatch with zero q/k/v
+    HBM round-trips.  MEASURED LOSS at all-sites fusion
+    (docs/fused_site_r4.json: 13.49s vs 13.24s grid): per-grid-row
+    (N, C) x (C, C) projections lose the cross-batch M-amortization of
+    XLA's one (54N, C) matmul, worst at the short-N sites.  Env
+    IDTPU_FUSED_SITE=0/1 overrides (sampling context only);
+    IDTPU_FUSED_MIN_N restricts fusion to sites with at least that many
+    tokens (unknown N counts as ineligible)."""
+    if _MODE.get() == "train":
+        return False
+    v = os.environ.get("IDTPU_FUSED_SITE")
+    on = v == "1" if v is not None else False  # measured default: off
+    if not on:
+        return False
+    min_n = int(os.environ.get("IDTPU_FUSED_MIN_N", "0") or 0)
+    if min_n and (N is None or N < min_n):
+        return False
+    return True
 
 
 def _site_grouping_ok(C: int, num_heads: int) -> bool:
@@ -286,6 +320,13 @@ def executed_attention_flops(
     for B, N, C, h, route in sites:
         if route == "packed":
             total += packed_site_flops(B, N, C, h, backward=backward)
+        elif route == "fused":
+            # attention work as packed, PLUS the four projection matmuls
+            # (q/k/v/out, 2*N*C*C each) that XLA's cost analysis no longer
+            # sees once they move inside the Mosaic call.  Backward is an
+            # XLA recompute (visible to the compiled count) — fwd only.
+            total += packed_site_flops(B, N, C, h, backward=False)
+            total += 4 * 2 * B * N * C * C
         elif route == "banded":
             # the banded repack runs the packed kernel at C' = h * band
             total += packed_site_flops(

@@ -256,6 +256,134 @@ def banded_packed_attention(q, k, v, *, num_heads: int, interpret: bool = False)
     return out.reshape(B, N, num_heads, band)[..., :d].reshape(B, N, C)
 
 
+# --- fully-fused attention site: projections + attention + out-proj -------
+#
+# The round-4 sampler-residue decomposition (docs/sampler_residue_r4.json)
+# showed the grid's q/k/v/out projection matmuls cost 1.44s/1000 steps at
+# ~51% MFU as standalone XLA fusions — bias-add epilogues on (54N, C)
+# shapes — while the attention kernels beside them run at 82% of their
+# lane floor.  Fusing the four projections INTO the packed-attention
+# kernel chains their MXU passes with the attention matmuls under one
+# dispatch and removes the q/k/v/attn HBM round-trips entirely (the site
+# touches HBM once for tokens in, once for output out).  The r3 fused-QKV
+# experiment (docs/qkv_experiments_r3.json) failed for a different reason:
+# it kept the projections as ONE XLA matmul whose (C, 3C) operand had to
+# be concatenated per scan step.  Here the weights stay three separate
+# kernel operands — nothing is concatenated, checkpoints are untouched.
+
+
+def _fused_site_kernel(x_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                       wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                       *, num_heads: int, scale: float):
+    """One batch row: tokens (N, C) -> attention-site output (N, C).
+
+    q/k/v = x @ W + b on the MXU (bf16 operands, fp32 accumulate), then the
+    lane-masked grouped attention of `_packed_kernel`, then the output
+    projection accumulated PER GROUP (out += attn_g @ Wo[g]) so the packed
+    (N, C) attention matrix never needs concatenating, and finally the
+    module's residual add — all VMEM-resident."""
+    x = x_ref[0].astype(jnp.bfloat16)  # (N, C) post-GN tokens
+    N, C = x.shape
+    d = C // num_heads
+    gw = _group_width(C, d)
+    hpg = gw // d
+
+    def proj(w_ref, b_ref):
+        return jax.lax.dot_general(
+            x, w_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[...]
+
+    q = proj(wq_ref, bq_ref) * scale           # (N, C) fp32
+    k = proj(wk_ref, bk_ref).astype(jnp.bfloat16)
+    v = proj(wv_ref, bv_ref).astype(jnp.bfloat16)
+    wo = wo_ref[...].astype(jnp.bfloat16)      # (C, C)
+
+    out = r_ref[0].astype(jnp.float32) + bo_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+    for g in range(C // gw):
+        sl = slice(g * gw, (g + 1) * gw)
+        qg, kg, vg = q[:, sl], k[:, sl], v[:, sl]
+        acc = jnp.zeros((N, gw), jnp.float32)
+        for h in range(hpg):
+            mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, gw)
+            qh = (qg * mask).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (N, N)
+            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            vh = vg * mask
+            acc = acc + jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        # out-projection per group: attn @ Wo == sum_g attn_g @ Wo[rows g]
+        out = out + jax.lax.dot_general(
+            acc.astype(jnp.bfloat16), wo[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def reference_fused_site(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
+                         *, num_heads: int, scale: float):
+    """XLA reference composite for the fused site (projections in fp32)."""
+    q = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wq) + bq
+    k = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wk) + bk
+    v = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wv) + bv
+    attn = reference_packed_attention(q, k, v, num_heads, scale)
+    return jnp.einsum("bnc,cd->bnd", attn, wo) + bo + r.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _fused_site_forward(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
+                        num_heads: int, scale: float, interpret: bool):
+    B, N, C = x.shape
+    row = pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    b = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_site_kernel, num_heads=num_heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[row, row, w, b, w, b, w, b, w, b],
+        out_specs=row,
+        interpret=interpret,
+    )(x, r, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _fused_site_fwd(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
+                    num_heads, scale, interpret):
+    out = _fused_site_forward(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
+                              num_heads, scale, interpret)
+    return out, (x, r, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _fused_site_bwd(num_heads, scale, interpret, res, g):
+    # sampling-only route in practice; grads (if ever taken) differentiate
+    # the XLA reference composite, like the flash kernel's backward
+    def f(*args):
+        return reference_fused_site(*args, num_heads=num_heads, scale=scale)
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g.astype(jnp.float32))
+
+
+_fused_site_forward.defvjp(_fused_site_fwd, _fused_site_bwd)
+
+
+def fused_site_attention(x, resid, wq, bq, wk, bk, wv, bv, wo, bo,
+                         *, num_heads: int, interpret: bool = False):
+    """Whole attention site in one Pallas call: x (B, N, C) post-norm tokens,
+    resid (B, N, C) the module's pre-norm residual; weights (C, C) and
+    biases (C,) fp32 as stored in the parameter tree.  Returns (B, N, C)."""
+    B, N, C = x.shape
+    scale = 1.0 / math.sqrt(C // num_heads)
+    return _fused_site_forward(
+        x, resid, wq, bq.reshape(1, C), wk, bk.reshape(1, C),
+        wv, bv.reshape(1, C), wo, bo.reshape(1, C), num_heads, scale, interpret,
+    )
+
+
 def reference_packed_attention(q, k, v, num_heads: int, scale: float):
     """XLA reference for the packed layout (head split + sdpa + merge)."""
     B, N, C = q.shape

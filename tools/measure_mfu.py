@@ -109,8 +109,10 @@ def train_step_mfu(trace_dir=None, remat=None):
     pallas_exec = pk.executed_attention_flops(sites, backward=True)
     attn_model = sum(
         pk.model_attention_flops(B_, N_, C_, h_, backward=True)
+        # "fused" can't appear in the train context (site_route), so no
+        # projection-flop term is needed here
         for B_, N_, C_, h_, r_ in sites
-        if r_ in ("packed", "banded", "flash")
+        if r_ in ("packed", "banded", "flash", "fused")
     )
 
     # the step donates `state` — rebind it every call (bench.py pattern)
@@ -308,7 +310,14 @@ def sampler_mfu(trace_dir=None):
             n * pk.model_attention_flops(B_, N_, C_, h_)
             for n, sites in ((T, step_sites), (1, dec_sites))
             for B_, N_, C_, h_, r_ in sites
-            if r_ in ("packed", "banded", "flash")
+            if r_ in ("packed", "banded", "flash", "fused")
+        ) + sum(
+            # fused sites also hide their q/k/v/out projections (model ==
+            # executed: 4 exact dense matmuls) from the compiled count
+            n * 4 * 2 * B_ * N_ * C_ * C_
+            for n, sites in ((T, step_sites), (1, dec_sites))
+            for B_, N_, C_, h_, r_ in sites
+            if r_ == "fused"
         )
 
         args = (pipe.unet, pipe.unet_variables, pipe.vae,

@@ -219,7 +219,7 @@ def main():
     # recorder logs each site once per logical step regardless of the scan
     # unroll factor; round 3's complete-count arithmetic confirms 10/step:
     # 10,000 invocations / 1000 steps, docs/mfu_r3.json trace_correction)
-    kernel_sites = sum(1 for *_, r in sites if r in ("packed", "banded", "flash"))
+    kernel_sites = sum(1 for *_, r in sites if r in ("packed", "banded", "flash", "fused"))
     expected_attn = kernel_sites * args.steps
     print(f"[sites] {kernel_sites} kernel sites/step -> {expected_attn} "
           f"expected invocations", flush=True)
