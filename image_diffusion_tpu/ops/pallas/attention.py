@@ -124,7 +124,29 @@ def _group_width(C: int, d: int) -> int:
     return C
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
+_LOG2E = 1.4426950408889634
+
+
+def _use_exp2() -> bool:
+    """IDTPU_PACKED_EXP2=1 (read at trace time) selects the clamped-exp2
+    softmax inside the packed forward: log2(e) folds into the q scale
+    (free — it multiplies an existing per-element scale), scores are
+    clamped to [-100, 100] in the log2 domain instead of row-max-shifted,
+    and the weights come from one exp2 pass.  That removes two VPU passes
+    over the (N, N) score matrix (max-reduce + subtract) and, more
+    importantly for Mosaic's scheduler, deletes the reduce->elementwise
+    dependency in front of the exp — the packed kernels are compute-bound
+    with the softmax VPU work partially serialized against the masked MXU
+    matmuls (docs/sampler_residue_r4.json: 82%% in-kernel pass rate).
+    Exact softmax wherever no clamp fires (shift invariance); the clamp
+    bounds exp2 to [2^-100, 2^100] so a row can neither overflow fp32 in
+    the sum (N * 2^100 ~ 1.3e33) nor underflow to an all-zero denominator
+    (2^-100 ~ 8e-31 >> fp32 min normal)."""
+    return os.environ.get("IDTPU_PACKED_EXP2", "0") == "1"
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
+                   exp2: bool = False):
     """All heads of one batch row, heads PACKED in lanes (N, C), C = h*d.
 
     Per-head scores come from a lane-masked matmul over the head's
@@ -142,7 +164,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     (block_q, C) row slab while k/v stay full — same math (full-KV softmax
     per row), smaller VMEM score matrices at N=1024.
     """
-    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, C)
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E if exp2 else scale)
     k = k_ref[0].astype(jnp.bfloat16)         # (N, C)
     v = v_ref[0].astype(jnp.bfloat16)
     Bq, C = q.shape
@@ -161,7 +183,12 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
             s = jax.lax.dot_general(
                 qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # (Bq, N)
-            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            if exp2:
+                # scores already in the log2 domain (see _use_exp2)
+                w = jnp.exp2(jnp.clip(s, -100.0, 100.0))
+                p = (w / jnp.sum(w, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            else:
+                p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
             vh = vg * mask
             acc = acc + jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -194,7 +221,9 @@ def _fwd_block_q(N: int) -> int:
 def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     B, N, C = q.shape
     bq = _fwd_block_q(N)
-    kernel = functools.partial(_packed_kernel, num_heads=num_heads, scale=scale)
+    kernel = functools.partial(
+        _packed_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2()
+    )
     full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
     if bq:
         qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
@@ -401,7 +430,7 @@ def _packed_fwd(q, k, v, num_heads, scale, interpret):
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                       *, num_heads: int, scale: float):
+                       *, num_heads: int, scale: float, exp2: bool = False):
     """Backward of `_packed_kernel`, same lane-masked grouped layout
     (`_group_width`), blocked over Q rows (flash-style) so score matrices
     never exceed (block_q, N) — peak VMEM stays a few MB at N=1024 where
@@ -446,8 +475,15 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             qh, kh, doh = qg * mask, kg * mask, dog * mask
             s = jax.lax.dot_general(
                 qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # (Bq, N)
-            p = jax.nn.softmax(s, axis=-1)
+            )  # (Bq, N) raw q.k (scale applied below)
+            if exp2:
+                # clamped-exp2 softmax recompute (see _use_exp2); the dS
+                # chain rule below keeps the NATURAL scale — only the
+                # weight computation moves to the log2 domain
+                w = jnp.exp2(jnp.clip(s * (scale * _LOG2E), -100.0, 100.0))
+                p = w / jnp.sum(w, axis=-1, keepdims=True)
+            else:
+                p = jax.nn.softmax(s * scale, axis=-1)
             p16 = p.astype(jnp.bfloat16)
             # dV_h += P^T dO_h  (contract the Q-row axes)
             dv_ref[0, :, sl] += jax.lax.dot_general(
@@ -478,7 +514,9 @@ def _packed_bwd(num_heads, scale, interpret, res, g):
     qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_packed_bwd_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _packed_bwd_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2()
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, N, C), q.dtype),      # dq per Q block
             jax.ShapeDtypeStruct((B, N, C), jnp.float32),  # dk accumulator

@@ -185,6 +185,42 @@ def test_packed_forward_q_blocking_matches_unblocked(monkeypatch):
     np.testing.assert_array_equal(base, fallback)
 
 
+def test_packed_exp2_softmax_matches_default(monkeypatch):
+    """IDTPU_PACKED_EXP2 swaps the packed softmax for the clamped-exp2
+    form (log2(e) folded into the q scale, no row-max shift).  Where no
+    clamp fires — any realistic score range — the math is the identical
+    softmax, so interpret-mode outputs must agree with the default kernel
+    to bf16 accumulation noise; a grouped (C=128, d=16) shape exercises
+    the multi-head lane-masked path."""
+    from image_diffusion_tpu.ops.pallas.attention import _packed_forward
+
+    key = jax.random.key(11)
+    q = jax.random.normal(key, (2, 64, 128), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, 128), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 128), jnp.float32)
+    scale = 1.0 / np.sqrt(16)
+
+    monkeypatch.delenv("IDTPU_PACKED_EXP2", raising=False)
+    base = np.asarray(_packed_forward(q, k, v, 8, scale, True))
+    monkeypatch.setenv("IDTPU_PACKED_EXP2", "1")
+    fast = np.asarray(_packed_forward(q, k, v, 8, scale, True))
+    np.testing.assert_allclose(fast, base, atol=2e-2, rtol=2e-2)
+    # extreme logits hit the clamp without overflow/underflow/NaN
+    hot = np.asarray(_packed_forward(q * 1e3, k * 1e3, v, 8, scale, True))
+    assert np.isfinite(hot).all()
+
+    # backward recompute uses the same exp2 softmax but keeps the NATURAL
+    # scale in the dS chain rule — gradients must match the default kernel
+    def loss(q, k, v):
+        return jnp.sum(_packed_forward(q, k, v, 8, scale, True) ** 2)
+
+    g_fast = jax.grad(loss, (0, 1, 2))(q, k, v)
+    monkeypatch.delenv("IDTPU_PACKED_EXP2")
+    g_base = jax.grad(loss, (0, 1, 2))(q, k, v)
+    for a, b in zip(g_fast, g_base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2)
+
+
 def test_site_route(monkeypatch):
     """Per-site routing: measured defaults plus the REQUIRE_GROUPED
     experiment flag that excludes ungroupable channel counts."""
