@@ -121,35 +121,6 @@ class Dense(nn.Module):
         )(x)
 
 
-class _RawDenseParams(nn.Module):
-    """Declares the {kernel, bias} params of an `nn.Dense` without applying
-    it (scope name "dense" matches `Dense`'s child, so the parameter tree —
-    and therefore checkpoints, the torch importer, and init RNG streams —
-    is IDENTICAL whichever twin a route instantiates)."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        init = dense_kernel_init(self.in_features)
-        kernel = self.param("kernel", init, (self.in_features, self.features), jnp.float32)
-        bias = self.param("bias", init, (self.features,), jnp.float32)
-        return kernel, bias
-
-
-class DenseParams(nn.Module):
-    """Parameter-tree twin of `Dense`: same params, returned raw instead of
-    applied — for routes that consume the weights inside a fused Pallas
-    kernel (SpatialSelfAttention's "fused" route)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        return _RawDenseParams(self.features, in_features, name="dense")()
-
-
 class _Affine(nn.Module):
     """Bare scale/bias parameter holder (child scope name keeps the param
     tree shaped like {norm: {scale, bias}} for the torch importer)."""
@@ -274,22 +245,6 @@ class SpatialSelfAttention(nn.Module):
         # lets tools/measure_mfu.py add the Pallas kernels' executed FLOPs —
         # invisible to XLA's cost analysis — back into the MFU numbers
         pk.log_site(B, H * W, C, self.num_heads, route)
-        if route == "fused":
-            # whole site in one Pallas call: q/k/v/out projections chained
-            # with the grouped attention on the MXU, residual added
-            # in-kernel — no q/k/v HBM round-trips, no per-matmul epilogues
-            # (docs/sampler_residue_r4.json measured the standalone
-            # projection fusions at 51% MFU).  Weights are read raw via the
-            # DenseParams twins (identical parameter tree).
-            wq, bq = DenseParams(C, name="to_q")(C)
-            wk, bk = DenseParams(C, name="to_k")(C)
-            wv, bv = DenseParams(C, name="to_v")(C)
-            wo, bo = DenseParams(C, name="out_proj")(C)
-            out = pk.fused_site_attention(
-                tokens, resid.reshape(B, H * W, C),
-                wq, bq, wk, bk, wv, bv, wo, bo, num_heads=self.num_heads,
-            )
-            return out.reshape(B, H, W, C)
 
         q = Dense(C, dtype=self.dtype, name="to_q")(tokens)
         k = Dense(C, dtype=self.dtype, name="to_k")(kv_tokens)
@@ -302,11 +257,6 @@ class SpatialSelfAttention(nn.Module):
             # sequences beat the blockwise kernel's online-softmax overhead
             # by ~9x (docs/packed_maxc_r2.json)
             attn = pk.packed_attention(q, k, v, num_heads=self.num_heads)
-        elif route == "banded":
-            # tile-straddling heads (C=384, d=48) repacked into 64-lane
-            # bands so the 128-lane grouped contraction applies
-            # (IDTPU_PACKED_BAND experiment; ops/pallas/attention.py)
-            attn = pk.banded_packed_attention(q, k, v, num_heads=self.num_heads)
         else:
             # (B, N, H*d) -> (B, heads, N, d); contiguous head split matches
             # the reference einops "(h c)" convention.

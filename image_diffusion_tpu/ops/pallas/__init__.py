@@ -27,10 +27,13 @@ trainer thread tracing concurrently with a serving thread cannot race the
 mode (each thread sees its own value).  Kernels are validated against XLA
 references in tests/test_pallas.py.
 
-A fused GroupNorm+SiLU kernel was measured and DELETED: 21.7s vs 21.2s
-grid (sampling) and 104.8 vs 100.3 ms/step (training) — XLA's own fusion
-wins both ways.  See git history (ops/pallas/groupnorm.py) if a future
-shape profile changes the tradeoff.
+Measured-loss kernels are DELETED, not kept behind flags (the kernel-rent
+rule): a fused GroupNorm+SiLU kernel (21.7s vs 21.2s grid, 104.8 vs 100.3
+ms/train-step — XLA's own fusion wins; git history: ops/pallas/groupnorm.py),
+the banded d=48 head repack (0.953s vs 0.889s 50-step grid,
+docs/banded_r4.json), and the fully-fused attention site (13.49s vs 13.24s
+grid, docs/fused_site_r4.json).  The docs/ JSONs preserve each negative
+result; git history preserves the code.
 """
 
 from __future__ import annotations
@@ -42,24 +45,16 @@ from contextlib import contextmanager
 from .attention import (
     _group_width,
     attention,
-    band_width,
-    banded_packed_attention,
     flash_attention,
-    fused_site_attention,
     packed_attention,
     reference_attention,
-    reference_fused_site,
     reference_packed_attention,
 )
 
 __all__ = [
     "attention",
-    "band_width",
-    "banded_packed_attention",
     "flash_attention",
-    "fused_site_attention",
     "packed_attention",
-    "reference_fused_site",
     "reference_packed_attention",
     "reference_attention",
     "attention_enabled",
@@ -164,6 +159,8 @@ def attention_enabled() -> bool:
 def site_route(C: int, num_heads: int, N: int | None = None) -> str:
     """Per-attention-site kernel routing under the current context:
     "packed" (lane-packed kernel), "flash" (blockwise kernel), or "xla".
+    (`N`, the token count, is kept in the signature for callers/logging;
+    routing is currently shape-only in C and num_heads.)
 
     Besides the packed_max_c ceiling, sites whose heads do NOT tile the
     128-lane contraction group (group width != 128 for C > 128) route to
@@ -178,63 +175,15 @@ def site_route(C: int, num_heads: int, N: int | None = None) -> str:
         return "xla"
     if C <= packed_max_c():
         if _site_grouping_ok(C, num_heads):
-            if _fused_site_ok(N):
-                return "fused"
             return "packed"
-        if _site_banding_ok(C, num_heads):
-            return "banded"
         return "xla"  # ungrouped exclusion: padded XLA einsum, not flash
     return "flash" if mode == "all" else "xla"
-
-
-def _fused_site_ok(N: int | None = None) -> bool:
-    """True when a packed-eligible site should take the FULLY-FUSED kernel
-    (q/k/v/out projections + attention + residual in one Pallas call,
-    `fused_site_attention`) instead of packed.  Sampling-context only: the
-    fused kernel's backward is an XLA recompute of the whole site, while
-    training's packed route has a real Pallas backward.  Round-4
-    measurement (docs/fused_site_r4.json): the standalone projection
-    fusions ran at 51% MFU (docs/sampler_residue_r4.json); in-kernel they
-    chain with the attention matmuls under one dispatch with zero q/k/v
-    HBM round-trips.  MEASURED LOSS at all-sites fusion
-    (docs/fused_site_r4.json: 13.49s vs 13.24s grid): per-grid-row
-    (N, C) x (C, C) projections lose the cross-batch M-amortization of
-    XLA's one (54N, C) matmul, worst at the short-N sites.  Env
-    IDTPU_FUSED_SITE=0/1 overrides (sampling context only);
-    IDTPU_FUSED_MIN_N restricts fusion to sites with at least that many
-    tokens (unknown N counts as ineligible)."""
-    if _MODE.get() == "train":
-        return False
-    v = os.environ.get("IDTPU_FUSED_SITE")
-    on = v == "1" if v is not None else False  # measured default: off
-    if not on:
-        return False
-    min_n = int(os.environ.get("IDTPU_FUSED_MIN_N", "0") or 0)
-    if min_n and (N is None or N < min_n):
-        return False
-    return True
 
 
 def _site_grouping_ok(C: int, num_heads: int) -> bool:
     if os.environ.get("IDTPU_PACKED_REQUIRE_GROUPED", "1") != "1" or C <= 128:
         return True
     return _group_width(C, C // num_heads) == 128
-
-
-def _site_banding_ok(C: int, num_heads: int) -> bool:
-    """True when a tile-straddling site (C=384, d=48) should repack its
-    heads into `band_width` lane bands and take the packed kernel at the
-    banded width (`banded_packed_attention`).  Measured and LOST: 0.9528s
-    vs 0.8885s on the 50-step grid (docs/banded_r4.json) — XLA runs the
-    d=48 einsums near peak already — so IDTPU_PACKED_BAND=1 stays a
-    default-off experiment flag."""
-    if os.environ.get("IDTPU_PACKED_BAND", "0") != "1":
-        return False
-    d = C // num_heads
-    if d > 128:  # no 128-dividing band holds the head (VAE's 1-head C=512)
-        return False
-    banded_c = num_heads * band_width(d)
-    return banded_c % 128 == 0 and banded_c <= packed_max_c()
 
 
 # --- attention-site accounting ------------------------------------------
@@ -320,18 +269,6 @@ def executed_attention_flops(
     for B, N, C, h, route in sites:
         if route == "packed":
             total += packed_site_flops(B, N, C, h, backward=backward)
-        elif route == "fused":
-            # attention work as packed, PLUS the four projection matmuls
-            # (q/k/v/out, 2*N*C*C each) that XLA's cost analysis no longer
-            # sees once they move inside the Mosaic call.  Backward is an
-            # XLA recompute (visible to the compiled count) — fwd only.
-            total += packed_site_flops(B, N, C, h, backward=False)
-            total += 4 * 2 * B * N * C * C
-        elif route == "banded":
-            # the banded repack runs the packed kernel at C' = h * band
-            total += packed_site_flops(
-                B, N, h * band_width(C // h), h, backward=backward
-            )
         elif route == "flash":
             total += 2 * (2 * B * h * N * N * 128)  # fwd only; bwd is XLA
     return total

@@ -137,7 +137,7 @@ def _use_exp2() -> bool:
     importantly for Mosaic's scheduler, deletes the reduce->elementwise
     dependency in front of the exp — the packed kernels are compute-bound
     with the softmax VPU work partially serialized against the masked MXU
-    matmuls (docs/sampler_residue_r4.json: 82%% in-kernel pass rate).
+    matmuls (docs/sampler_residue_r4.json: 82% in-kernel pass rate).
     Exact softmax wherever no clamp fires (shift invariance); the clamp
     bounds exp2 to [2^-100, 2^100] so a row can neither overflow fp32 in
     the sum (N * 2^100 ~ 1.3e33) nor underflow to an all-zero denominator
@@ -196,6 +196,98 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
         o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
+def _wide_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
+                 num_heads: int, scale: float, exp2: bool):
+    """Block-diagonal 'wide' schedule of the packed forward (round-5
+    in-kernel-pass-rate experiment, IDTPU_PACKED_WIDE=1).
+
+    The baseline `_packed_kernel` issues 2*hpg small masked matmuls per
+    group with a VPU softmax between each score/AV pair; the r4 residue
+    trace (docs/sampler_residue_r4.json) prices the resulting MXU pipeline
+    bubbles + serialized softmax at an 82% in-kernel pass rate.  This
+    schedule removes the per-head loop: mask K and V ONCE into
+    block-diagonal wide operands
+        Kw[h*N+j, :] = K[j, :] * mask_h      (hpg*N, gw)
+        Vw[h*N+j, :] = V[j, :] * mask_h
+    so UNMASKED q against Kw^T yields every head's scores in one long
+    matmul — S[:, h*N+j] = sum_l q[l] K[j,l] mask_h[l] = S_h[:, j] — and
+    P @ Vw accumulates every head's output into its own lane band in one
+    more.  Two MXU streams per group (same executed FLOPs as the
+    baseline's 2*hpg), one batched softmax over the (Bq, hpg, N) view.
+
+    Kw/Vw live in scratch and are built once per batch row (at the first
+    Q-block grid step); the Q-row axis must be blocked at N=1024 to keep
+    the (Bq, hpg*N) fp32 score matrix inside VMEM."""
+    qi = pl.program_id(1)
+    k = k_ref[0].astype(jnp.bfloat16)         # (N, C) full rows
+    v = v_ref[0].astype(jnp.bfloat16)
+    N = k.shape[0]
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E if exp2 else scale)
+    Bq, C = q.shape
+    d = C // num_heads
+    gw = _group_width(C, d)
+    hpg = gw // d
+
+    @pl.when(qi == 0)
+    def _build_wide():
+        # head band of wide row r = r // N; lane l belongs to head l // d
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (hpg * N, gw), 0) // N
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (hpg * N, gw), 1) // d
+        mask = (row_h == lane_h).astype(jnp.bfloat16)
+        for g in range(C // gw):
+            sl = slice(g * gw, (g + 1) * gw)
+            kt = jnp.broadcast_to(k[:, sl], (hpg, N, gw)).reshape(hpg * N, gw)
+            vt = jnp.broadcast_to(v[:, sl], (hpg, N, gw)).reshape(hpg * N, gw)
+            kw_ref[g] = kt * mask
+            vw_ref[g] = vt * mask
+
+    for g in range(C // gw):
+        sl = slice(g * gw, (g + 1) * gw)
+        qg = q[:, sl].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qg, kw_ref[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bq, hpg*N) — all heads' scores in one MXU stream
+        s3 = s.reshape(Bq, hpg, N)
+        if exp2:
+            w = jnp.exp2(jnp.clip(s3, -100.0, 100.0))
+            p3 = w / jnp.sum(w, axis=-1, keepdims=True)
+        else:
+            p3 = jax.nn.softmax(s3, axis=-1)
+        p = p3.reshape(Bq, hpg * N).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            p, vw_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bq, gw): each head lands in its own lane band
+        o_ref[0, :, sl] = acc.astype(o_ref.dtype)
+
+
+def _use_wide(C: int, num_heads: int, N: int) -> bool:
+    """IDTPU_PACKED_WIDE=1 (read at trace time) routes grouped sites to the
+    block-diagonal wide schedule when it applies: heads must tile the
+    128-lane group (hpg > 1 — with one head per group the baseline already
+    runs one long matmul) and the wide operands must fit VMEM."""
+    if os.environ.get("IDTPU_PACKED_WIDE", "0") != "1":
+        return False
+    d = C // num_heads
+    gw = _group_width(C, d)
+    if gw != 128 or gw // d <= 1:
+        return False
+    # scratch: 2 groups' worth of (hpg*N, 128) bf16 per group set
+    wide_bytes = (C // gw) * 2 * (gw // d) * N * gw * 2
+    return wide_bytes <= 10 * 1024 * 1024
+
+
+def _wide_block_q(N: int, hpg: int) -> int:
+    """Q-row block for the wide schedule: cap the fp32 (Bq, hpg*N) score
+    matrix at ~4MB."""
+    max_bq = max((4 * 1024 * 1024) // (hpg * N * 4), 8)
+    bq = N
+    while bq > max_bq and bq % 2 == 0:
+        bq //= 2
+    return bq
+
+
 def packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
     """Packed-lane self-attention: q/k/v (B, N, C) -> (B, N, C).
 
@@ -220,11 +312,33 @@ def _fwd_block_q(N: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     B, N, C = q.shape
+    full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
+    if _use_wide(C, num_heads, N):
+        d = C // num_heads
+        gw = _group_width(C, d)
+        hpg = gw // d
+        bq = _wide_block_q(N, hpg)
+        kvspec = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_wide_kernel, num_heads=num_heads, scale=scale,
+                              exp2=_use_exp2()),
+            out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+            grid=(B, N // bq),
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=qspec,
+            scratch_shapes=[
+                pltpu.VMEM((C // gw, hpg * N, gw), jnp.bfloat16),  # Kw
+                pltpu.VMEM((C // gw, hpg * N, gw), jnp.bfloat16),  # Vw
+            ],
+            interpret=interpret,
+        )(q, k, v)
     bq = _fwd_block_q(N)
     kernel = functools.partial(
         _packed_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2()
     )
-    full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
     if bq:
         qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         grid = (B, N // bq)
@@ -241,176 +355,13 @@ def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     )(q, k, v)
 
 
-def band_width(d: int) -> int:
-    """Smallest 128-dividing lane band that holds a d-wide head: the
-    repack target for heads that straddle the 128-lane contraction tile
-    (d=48 -> 64)."""
-    return next(w for w in (16, 32, 64, 128) if w >= d)
-
-
-def banded_packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
-    """Packed attention for head widths that straddle the 128-lane tile
-    (C=384, d=48): repack each head into a `band_width` lane band (48 -> 64,
-    zero-padded) so `_group_width` sees a clean 128-lane grouping (2 heads
-    per group at d=48) instead of falling back to full-C-width masked
-    matmuls.
-
-    Executed MXU work per head becomes 2*N^2*128 per matmul — the same
-    lane floor as the padded XLA einsum — but the score matrices stay in
-    VMEM (the XLA path materializes (B,h,N,N) scores plus two head
-    transposes in HBM).  Correctness: padded q/k lanes are zero so scores
-    are exact; padded v lanes produce zero output lanes, dropped on
-    unpack; softmax normalizes per row independent of the layout.  The
-    true 1/sqrt(d) scale is passed explicitly (the banded layout's
-    C//num_heads would give 1/sqrt(band)).
-
-    Round-4 measurement (VERDICT r3 stretch): MEASURED LOSS — 0.9528s vs
-    0.8885s on the 50-step ddim grid (docs/banded_r4.json); XLA's batched
-    d=48 einsums already run near peak (0.12s of the 1000-step grid,
-    docs/sampler_residue_r4.json), so the repack traffic + 512-lane AV
-    accumulate only add cost.  Stays env-gated OFF (IDTPU_PACKED_BAND=1)
-    as the measured record; useful only if a straddling site ever becomes
-    score-IO-bound."""
-    B, N, C = q.shape
-    d = C // num_heads
-    band = band_width(d)
-    scale = 1.0 / math.sqrt(d)
-
-    def pack(t):
-        t = t.reshape(B, N, num_heads, d)
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, band - d)))
-        return t.reshape(B, N, num_heads * band)
-
-    out = _packed_forward(pack(q), pack(k), pack(v), num_heads, scale, interpret)
-    return out.reshape(B, N, num_heads, band)[..., :d].reshape(B, N, C)
-
-
-# --- fully-fused attention site: projections + attention + out-proj -------
-#
-# The round-4 sampler-residue decomposition (docs/sampler_residue_r4.json)
-# showed the grid's q/k/v/out projection matmuls cost 1.44s/1000 steps at
-# ~51% MFU as standalone XLA fusions — bias-add epilogues on (54N, C)
-# shapes — while the attention kernels beside them run at 82% of their
-# lane floor.  Fusing the four projections INTO the packed-attention
-# kernel chains their MXU passes with the attention matmuls under one
-# dispatch and removes the q/k/v/attn HBM round-trips entirely (the site
-# touches HBM once for tokens in, once for output out).  The r3 fused-QKV
-# experiment (docs/qkv_experiments_r3.json) failed for a different reason:
-# it kept the projections as ONE XLA matmul whose (C, 3C) operand had to
-# be concatenated per scan step.  Here the weights stay three separate
-# kernel operands — nothing is concatenated, checkpoints are untouched.
-
-
-def _fused_site_kernel(x_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                       wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
-                       *, num_heads: int, scale: float):
-    """One batch row: tokens (N, C) -> attention-site output (N, C).
-
-    q/k/v = x @ W + b on the MXU (bf16 operands, fp32 accumulate), then the
-    lane-masked grouped attention of `_packed_kernel`, then the output
-    projection accumulated PER GROUP (out += attn_g @ Wo[g]) so the packed
-    (N, C) attention matrix never needs concatenating, and finally the
-    module's residual add — all VMEM-resident."""
-    x = x_ref[0].astype(jnp.bfloat16)  # (N, C) post-GN tokens
-    N, C = x.shape
-    d = C // num_heads
-    gw = _group_width(C, d)
-    hpg = gw // d
-
-    def proj(w_ref, b_ref):
-        return jax.lax.dot_general(
-            x, w_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b_ref[...]
-
-    q = proj(wq_ref, bq_ref) * scale           # (N, C) fp32
-    k = proj(wk_ref, bk_ref).astype(jnp.bfloat16)
-    v = proj(wv_ref, bv_ref).astype(jnp.bfloat16)
-    wo = wo_ref[...].astype(jnp.bfloat16)      # (C, C)
-
-    out = r_ref[0].astype(jnp.float32) + bo_ref[...]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
-    for g in range(C // gw):
-        sl = slice(g * gw, (g + 1) * gw)
-        qg, kg, vg = q[:, sl], k[:, sl], v[:, sl]
-        acc = jnp.zeros((N, gw), jnp.float32)
-        for h in range(hpg):
-            mask = ((lane // d) == h).astype(jnp.bfloat16)  # (1, gw)
-            qh = (qg * mask).astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (N, N)
-            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-            vh = vg * mask
-            acc = acc + jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-        # out-projection per group: attn @ Wo == sum_g attn_g @ Wo[rows g]
-        out = out + jax.lax.dot_general(
-            acc.astype(jnp.bfloat16), wo[sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    o_ref[0] = out.astype(o_ref.dtype)
-
-
-def reference_fused_site(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
-                         *, num_heads: int, scale: float):
-    """XLA reference composite for the fused site (projections in fp32)."""
-    q = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wq) + bq
-    k = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wk) + bk
-    v = jnp.einsum("bnc,cd->bnd", x.astype(jnp.float32), wv) + bv
-    attn = reference_packed_attention(q, k, v, num_heads, scale)
-    return jnp.einsum("bnc,cd->bnd", attn, wo) + bo + r.astype(jnp.float32)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
-def _fused_site_forward(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
-                        num_heads: int, scale: float, interpret: bool):
-    B, N, C = x.shape
-    row = pl.BlockSpec((1, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    w = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    b = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_fused_site_kernel, num_heads=num_heads, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
-        grid=(B,),
-        in_specs=[row, row, w, b, w, b, w, b, w, b],
-        out_specs=row,
-        interpret=interpret,
-    )(x, r, wq, bq, wk, bk, wv, bv, wo, bo)
-
-
-def _fused_site_fwd(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
-                    num_heads, scale, interpret):
-    out = _fused_site_forward(x, r, wq, bq, wk, bk, wv, bv, wo, bo,
-                              num_heads, scale, interpret)
-    return out, (x, r, wq, bq, wk, bk, wv, bv, wo, bo)
-
-
-def _fused_site_bwd(num_heads, scale, interpret, res, g):
-    # sampling-only route in practice; grads (if ever taken) differentiate
-    # the XLA reference composite, like the flash kernel's backward
-    def f(*args):
-        return reference_fused_site(*args, num_heads=num_heads, scale=scale)
-
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g.astype(jnp.float32))
-
-
-_fused_site_forward.defvjp(_fused_site_fwd, _fused_site_bwd)
-
-
-def fused_site_attention(x, resid, wq, bq, wk, bk, wv, bv, wo, bo,
-                         *, num_heads: int, interpret: bool = False):
-    """Whole attention site in one Pallas call: x (B, N, C) post-norm tokens,
-    resid (B, N, C) the module's pre-norm residual; weights (C, C) and
-    biases (C,) fp32 as stored in the parameter tree.  Returns (B, N, C)."""
-    B, N, C = x.shape
-    scale = 1.0 / math.sqrt(C // num_heads)
-    return _fused_site_forward(
-        x, resid, wq, bq.reshape(1, C), wk, bk.reshape(1, C),
-        wv, bv.reshape(1, C), wo, bo.reshape(1, C), num_heads, scale, interpret,
-    )
+# Two measured-loss kernels were DELETED here under the kernel-rent rule
+# (round 5): `banded_packed_attention` (the d=48 head repack — 0.953s vs
+# 0.889s on the 50-step grid, docs/banded_r4.json) and
+# `fused_site_attention` (projections + attention + residual in one Pallas
+# call — 13.49s vs 13.24s grid, docs/fused_site_r4.json).  The measurement
+# JSONs and git history (commit 957693c and earlier) preserve both results;
+# resurrect from history only if the shape profile changes.
 
 
 def reference_packed_attention(q, k, v, num_heads: int, scale: float):

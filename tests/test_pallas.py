@@ -221,6 +221,62 @@ def test_packed_exp2_softmax_matches_default(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize(
+    "n,heads,c",
+    # grouped sites only (hpg > 1): 128/d16 (hpg 8), 256/d32 (hpg 4),
+    # 512/d64 (hpg 2); the Q-row axis blocks at the larger N
+    [(64, 8, 128), (256, 8, 256), (16, 8, 512)],
+)
+def test_packed_wide_schedule_matches_reference(n, heads, c, monkeypatch):
+    """IDTPU_PACKED_WIDE=1 swaps the per-head masked-matmul loop for the
+    block-diagonal wide schedule (one score matmul + one AV matmul per
+    group over (hpg*N, gw) masked K/V built once in scratch).  Same math,
+    same executed FLOPs — interpret-mode outputs must match the reference
+    to the packed kernel's bf16 tolerance, and gradients must flow (the
+    custom_vjp backward is schedule-independent)."""
+    from image_diffusion_tpu.ops.pallas.attention import (
+        _packed_forward,
+        reference_packed_attention,
+    )
+
+    key = jax.random.key(21)
+    B = 2
+    q = jax.random.normal(key, (B, n, c), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, n, c), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, n, c), jnp.float32)
+    scale = 1.0 / np.sqrt(c // heads)
+
+    ref = reference_packed_attention(q, k, v, heads, scale)
+    monkeypatch.setenv("IDTPU_PACKED_WIDE", "1")
+    got = jax.jit(lambda q, k, v: _packed_forward(q, k, v, heads, scale, True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    g_got = jax.grad(lambda q: jnp.mean(
+        _packed_forward(q, q, q, heads, scale, True) ** 2))(q)
+    monkeypatch.delenv("IDTPU_PACKED_WIDE")
+    g_base = jax.grad(lambda q: jnp.mean(
+        _packed_forward(q, q, q, heads, scale, True) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_base),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_wide_schedule_gating(monkeypatch):
+    """The wide schedule only engages where it applies: grouped multi-head
+    sites under the VMEM budget; 1-head groups and the ungrouped C=384
+    keep the baseline (routing already excludes the latter)."""
+    from image_diffusion_tpu.ops.pallas.attention import _use_wide
+
+    monkeypatch.setenv("IDTPU_PACKED_WIDE", "1")
+    assert _use_wide(128, 8, 1024)        # hpg 8: the dominant site
+    assert _use_wide(256, 8, 256)         # hpg 4
+    assert not _use_wide(128, 1, 1024)    # one head per group: no win
+    assert not _use_wide(384, 8, 64)      # ungrouped (d=48)
+    assert not _use_wide(512, 1, 1024)    # VAE 1-head C=512
+    monkeypatch.delenv("IDTPU_PACKED_WIDE")
+    assert not _use_wide(128, 8, 1024)    # default off until measured
+
+
 def test_site_route(monkeypatch):
     """Per-site routing: measured defaults plus the REQUIRE_GROUPED
     experiment flag that excludes ungroupable channel counts."""
@@ -239,223 +295,14 @@ def test_site_route(monkeypatch):
         # opt-out restores the round-2 all-packed routing
         monkeypatch.setenv("IDTPU_PACKED_REQUIRE_GROUPED", "0")
         assert pk.site_route(384, 8) == "packed"
-        # banded repack experiment (r4): straddling heads (d=48) repacked
-        # into 64-lane bands take the packed kernel at C'=512
-        monkeypatch.delenv("IDTPU_PACKED_REQUIRE_GROUPED", raising=False)
-        monkeypatch.setenv("IDTPU_PACKED_BAND", "1")
-        assert pk.site_route(384, 8) == "banded"
-        assert pk.site_route(256, 8) == "packed"  # groupable sites unchanged
-        # banded C above the packed ceiling falls back to xla
-        monkeypatch.setenv("IDTPU_PACKED_MAX_C", "384")
-        assert pk.site_route(384, 8) == "xla"
-        monkeypatch.delenv("IDTPU_PACKED_MAX_C")
-        # heads wider than a 128-lane band cannot repack (VAE decode's
-        # 1-head C=512 attention): xla, not a crash
-        assert pk.site_route(512, 1) == "xla"
-        monkeypatch.delenv("IDTPU_PACKED_BAND")
     monkeypatch.setenv("IDTPU_PALLAS_ATTN", "0")
     assert pk.site_route(128, 8) == "xla"
 
 
-def test_banded_packed_attention_matches_reference():
-    """The d=48 banded repack (C=384, 8 heads -> 64-lane bands, C'=512)
-    must equal the reference head-split attention: padded q/k lanes add
-    zero to scores, padded v lanes are dropped on unpack, and the true
-    1/sqrt(48) scale is used (not 1/sqrt(64))."""
-    from image_diffusion_tpu.ops.pallas.attention import (
-        banded_packed_attention,
-        reference_packed_attention,
-    )
-
-    key = jax.random.key(5)
-    B, N, C, heads = 2, 64, 384, 8
-    q = jax.random.normal(key, (B, N, C), jnp.float32)
-    k = jax.random.normal(jax.random.fold_in(key, 1), (B, N, C), jnp.float32)
-    v = jax.random.normal(jax.random.fold_in(key, 2), (B, N, C), jnp.float32)
-    scale = 1.0 / np.sqrt(C // heads)
-
-    ref = reference_packed_attention(q, k, v, heads, scale)
-    got = jax.jit(
-        lambda q, k, v: banded_packed_attention(
-            q, k, v, num_heads=heads, interpret=True
-        )
-    )(q, k, v)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=3e-2, rtol=3e-2)
-
-    # gradients flow through the repack wrapper (pad/reshape are linear)
-    g_ref = jax.grad(lambda q: jnp.mean(
-        reference_packed_attention(q, q, q, heads, scale) ** 2))(q)
-    g_got = jax.grad(lambda q: jnp.mean(banded_packed_attention(
-        q, q, q, num_heads=heads, interpret=True) ** 2))(q)
-    a, b = np.asarray(g_got).ravel(), np.asarray(g_ref).ravel()
-    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
-    assert cos > 0.999
-
-
-@pytest.mark.parametrize(
-    "n,heads,c",
-    # the packed-eligible UNet ladder: 32x32@128 (up_block_2's shape, small
-    # N for CPU interpret), 16x16@256, 4x4@512 — C=384 routes xla
-    [(64, 8, 128), (32, 8, 256), (16, 8, 512), (16, 1, 128)],
-)
-def test_fused_site_attention_matches_reference(n, heads, c):
-    """The fully-fused site kernel (q/k/v/out projections + grouped
-    attention + residual in one Pallas call) vs the XLA composite."""
-    from image_diffusion_tpu.ops.pallas.attention import (
-        fused_site_attention,
-        reference_fused_site,
-    )
-
-    key = jax.random.key(0)
-    B = 2
-    x = jax.random.normal(key, (B, n, c), jnp.float32).astype(jnp.bfloat16)
-    r = jax.random.normal(jax.random.fold_in(key, 1), (B, n, c)).astype(jnp.bfloat16)
-    ws, bs = [], []
-    for i in range(4):
-        ws.append(jax.random.normal(jax.random.fold_in(key, 2 + i), (c, c)) / np.sqrt(c))
-        bs.append(jax.random.normal(jax.random.fold_in(key, 6 + i), (c,)) / np.sqrt(c))
-    scale = 1.0 / np.sqrt(c // heads)
-
-    ref = reference_fused_site(
-        x, r, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
-        num_heads=heads, scale=scale)
-    got = jax.jit(lambda *a: fused_site_attention(
-        *a, num_heads=heads, interpret=True))(
-        x, r, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3])
-    # kernel uses bf16 matmuls internally (same tolerance as packed)
-    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
-                               atol=3e-2, rtol=3e-2)
-
-
-def test_fused_site_attention_gradients():
-    """The custom_vjp backward (XLA recompute of the reference composite)
-    flows to every differentiable operand."""
-    from image_diffusion_tpu.ops.pallas.attention import (
-        fused_site_attention,
-        reference_fused_site,
-    )
-
-    key = jax.random.key(7)
-    B, n, c, heads = 1, 16, 128, 4
-    x = jax.random.normal(key, (B, n, c), jnp.float32)
-    r = jnp.zeros((B, n, c), jnp.float32)
-    w = jax.random.normal(jax.random.fold_in(key, 1), (c, c)) / np.sqrt(c)
-    b = jnp.zeros((c,))
-    scale = 1.0 / np.sqrt(c // heads)
-
-    def loss_fused(x, w):
-        return jnp.mean(fused_site_attention(
-            x, r, w, b, w, b, w, b, w, b, num_heads=heads, interpret=True) ** 2)
-
-    def loss_ref(x, w):
-        return jnp.mean(reference_fused_site(
-            x, r, w, b, w, b, w, b, w, b, num_heads=heads, scale=scale) ** 2)
-
-    for arg in (0, 1):
-        g_got = np.asarray(jax.grad(loss_fused, arg)(x, w)).ravel()
-        g_ref = np.asarray(jax.grad(loss_ref, arg)(x, w)).ravel()
-        cos = g_got @ g_ref / (np.linalg.norm(g_got) * np.linalg.norm(g_ref) + 1e-12)
-        assert cos > 0.999
-
-
-def test_dense_params_twin_matches_dense_init():
-    """DenseParams must create the SAME parameter tree (paths, shapes, AND
-    init values — flax derives param RNG from the scope path) as Dense, so
-    checkpoints and seeds are route-independent."""
-    from flax import linen as nn
-
-    from image_diffusion_tpu.models.layers import Dense, DenseParams
-
-    class ViaDense(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            return Dense(8, name="to_q")(x)
-
-    class ViaParams(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            w, b = DenseParams(8, name="to_q")(x.shape[-1])
-            return x.astype(jnp.float32) @ w + b
-
-    x = jnp.ones((2, 8), jnp.bfloat16)
-    va = ViaDense().init(jax.random.key(3), x)
-    vb = ViaParams().init(jax.random.key(3), x)
-    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
-    for a, b in zip(jax.tree_util.tree_leaves(va), jax.tree_util.tree_leaves(vb)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_fused_site_route(monkeypatch):
-    """IDTPU_FUSED_SITE=1 upgrades packed-eligible sites to the fused
-    kernel in the sampling context; training and straddling sites are
-    untouched; default (unset) stays packed."""
-    from image_diffusion_tpu.ops import pallas as pk
-
-    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")
-    monkeypatch.delenv("IDTPU_FUSED_SITE", raising=False)
-    with pk.kernel_context(mode="sample"):
-        assert pk.site_route(128, 8) == "packed"  # default pending measurement
-        monkeypatch.setenv("IDTPU_FUSED_SITE", "1")
-        assert pk.site_route(128, 8) == "fused"
-        assert pk.site_route(256, 8) == "fused"
-        assert pk.site_route(512, 8) == "fused"
-        assert pk.site_route(384, 8) == "xla"     # straddling exclusion holds
-        assert pk.site_route(1024, 8) == "flash"  # above the packed ceiling
-        # N-restricted fusion: min-N gate, unknown N counts as ineligible
-        monkeypatch.setenv("IDTPU_FUSED_MIN_N", "1024")
-        assert pk.site_route(128, 8, 1024) == "fused"
-        assert pk.site_route(128, 8, 256) == "packed"
-        assert pk.site_route(128, 8) == "packed"
-        monkeypatch.delenv("IDTPU_FUSED_MIN_N")
-        monkeypatch.setenv("IDTPU_FUSED_SITE", "0")
-        assert pk.site_route(128, 8) == "packed"
-    monkeypatch.setenv("IDTPU_FUSED_SITE", "1")
-    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "packed")
-    with pk.kernel_context(mode="train"):
-        # the fused backward is an XLA recompute; training keeps the packed
-        # kernels whose Pallas backward is measured faster
-        assert pk.site_route(128, 8) == "packed"
-
-
-def test_fused_site_flop_accounting():
-    """fused sites count the packed attention floor PLUS the four projection
-    matmuls that XLA's compiled analysis no longer sees."""
-    from image_diffusion_tpu.ops import pallas as pk
-
-    B, N, C, h = 2, 64, 128, 4
-    expect = pk.packed_site_flops(B, N, C, h) + 4 * 2 * B * N * C * C
-    assert pk.executed_attention_flops([(B, N, C, h, "fused")]) == expect
-    # the backward is XLA-visible: fwd-only contribution either way
-    assert pk.executed_attention_flops([(B, N, C, h, "fused")],
-                                       backward=True) == expect
-
-
-def test_fused_route_traces_in_unet(monkeypatch):
-    """The fused branch traces through the full UNet (abstract eval on CPU)
-    and the parameter tree matches the XLA route's exactly."""
-    from image_diffusion_tpu.core.config import UNetArch
-    from image_diffusion_tpu.models import build_unet
-    from image_diffusion_tpu.ops import pallas as pk
-
-    arch = UNetArch(z_dim=3, channels=(16, 128), mid_channels=(128, 128),
-                    time_dim=32, num_res_layers=1, num_heads=4, num_groups=8)
-    m = build_unet(arch, dtype=jnp.bfloat16)
-    x = jnp.zeros((2, 8, 8, 3))
-    t = jnp.zeros((2,), jnp.int32)
-    c = jnp.zeros((2,), jnp.int32)
-    v_xla = jax.eval_shape(m.init, jax.random.key(0), x, t, c)
-
-    monkeypatch.setenv("IDTPU_PALLAS_ATTN", "1")
-    monkeypatch.setenv("IDTPU_FUSED_SITE", "1")
-    with pk.kernel_context(mode="sample"):
-        v_fused = jax.eval_shape(m.init, jax.random.key(0), x, t, c)
-        with pk.record_sites() as sites:
-            out = jax.eval_shape(m.apply, v_fused, x, t, c)
-    assert out.shape == (2, 8, 8, 3)
-    assert [s[4] for s in sites] == ["fused", "fused", "fused"]
-    assert (jax.tree_util.tree_structure(v_xla)
-            == jax.tree_util.tree_structure(v_fused))
+# The banded d=48 repack and the fully-fused attention-site kernel were
+# deleted in round 5 under the kernel-rent rule (both measured LOSSES:
+# docs/banded_r4.json, docs/fused_site_r4.json); their parity/grad/routing
+# tests went with them.  Git history preserves kernels and tests.
 
 
 def test_fp32_mode_never_hits_pallas_kernels(monkeypatch):

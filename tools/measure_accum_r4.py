@@ -93,14 +93,23 @@ def measure_one(accum: int) -> dict:
         state, m = trainer.train_step(state, x, key, disc_active=True)
     np.asarray(m["vae/recon_loss"])
     dt = (time.time() - t0) / iters
-    return {
+    row = {
         "grad_accum": accum,
         "step_ms": round(dt * 1e3, 2),
         "img_per_sec": round(batch / dt, 1),
-        "compiled_tflops_per_step": round(flops / 1e12, 3),
-        "compiled_gbytes_per_step": round(bytes_ / 1e9, 3),
-        "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
     }
+    if accum == 1:
+        # XLA's cost analysis counts a lax.scan body ONCE, not times trip
+        # count, so compiled FLOPs/bytes (and any MFU derived from them)
+        # are only valid at accum=1 where the step has no accumulation
+        # scan.  For accum>1 the honest metrics are step_ms/img_per_sec —
+        # the invalid fields are omitted, not published with a caveat.
+        row.update({
+            "compiled_tflops_per_step": round(flops / 1e12, 3),
+            "compiled_gbytes_per_step": round(bytes_ / 1e9, 3),
+            "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
+        })
+    return row
 
 
 def main():
@@ -117,9 +126,6 @@ def main():
     if len(rows) > 1:
         r2 = rows[1]
         report["overhead"] = {
-            "extra_tflops": round(
-                r2["compiled_tflops_per_step"]
-                - base["compiled_tflops_per_step"], 3),
             "step_time_ratio": round(r2["step_ms"] / base["step_ms"], 3),
             "note": (
                 "accum=2 vs accum=1 at the same global batch: the FLOP "

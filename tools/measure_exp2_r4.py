@@ -32,6 +32,10 @@ from measure_packed_maxc import _CHILD  # noqa: E402
 
 def run(mode: str, extra_env: dict) -> dict:
     env = dict(os.environ)
+    # pin every experiment flag so an operator shell exporting e.g.
+    # IDTPU_PACKED_EXP2=1 can't silently turn a "baseline" into the
+    # experiment (advisor r4); extra_env then overrides per variant
+    env.update({"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0"})
     env.update(extra_env)
     code = "import json\n" + _CHILD % {"repo": REPO, "mode": mode}
     out = subprocess.run([sys.executable, "-c", code], env=env,
@@ -54,9 +58,13 @@ def main():
         ("sample_baseline", "sample", {"IDTPU_PALLAS_ATTN": "1"}),
         ("sample_exp2", "sample",
          {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_EXP2": "1"}),
-        ("train_baseline", "train", {"IDTPU_PALLAS_ATTN": "1"}),
+        # training's SHIPPED routing is "packed" (C<=256 + Pallas backward;
+        # attention_mode) — measure the train go/no-go under it, not "all",
+        # whose C>256 flash sites carry a known-losing XLA-recompute
+        # backward (advisor r4)
+        ("train_baseline", "train", {"IDTPU_PALLAS_ATTN": "packed"}),
         ("train_exp2", "train",
-         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_EXP2": "1"}),
+         {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1"}),
     ]
 
     results = {}

@@ -109,10 +109,8 @@ def train_step_mfu(trace_dir=None, remat=None):
     pallas_exec = pk.executed_attention_flops(sites, backward=True)
     attn_model = sum(
         pk.model_attention_flops(B_, N_, C_, h_, backward=True)
-        # "fused" can't appear in the train context (site_route), so no
-        # projection-flop term is needed here
         for B_, N_, C_, h_, r_ in sites
-        if r_ in ("packed", "banded", "flash", "fused")
+        if r_ in ("packed", "flash")
     )
 
     # the step donates `state` — rebind it every call (bench.py pattern)
@@ -310,14 +308,7 @@ def sampler_mfu(trace_dir=None):
             n * pk.model_attention_flops(B_, N_, C_, h_)
             for n, sites in ((T, step_sites), (1, dec_sites))
             for B_, N_, C_, h_, r_ in sites
-            if r_ in ("packed", "banded", "flash", "fused")
-        ) + sum(
-            # fused sites also hide their q/k/v/out projections (model ==
-            # executed: 4 exact dense matmuls) from the compiled count
-            n * 4 * 2 * B_ * N_ * C_ * C_
-            for n, sites in ((T, step_sites), (1, dec_sites))
-            for B_, N_, C_, h_, r_ in sites
-            if r_ == "fused"
+            if r_ in ("packed", "flash")
         )
 
         args = (pipe.unet, pipe.unet_variables, pipe.vae,
