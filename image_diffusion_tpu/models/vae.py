@@ -261,6 +261,24 @@ class Codebook(nn.Module):
 
         return quant_out, quant_loss, perplexity
 
+    def indices(self, z):
+        """Nearest-codebook index per spatial position: (B, H, W) int32.
+
+        The lookup half of __call__ (same MXU argmin), exposed so callers
+        can measure codebook utilization — the reference's second published
+        stage-1 quality number (">83% codebook utilization", reference
+        README.md:14, measured via the perplexity at reference
+        trainers/vae_trainer.py:339-340)."""
+        B, H, W, C = z.shape
+        flat = z.reshape(-1, C).astype(jnp.float32)
+        # read-only access (self.variable would need a compact context)
+        emb = self.get_variable("codebook", "embeddings")
+        z_sq = jnp.sum(flat**2, axis=-1, keepdims=True)
+        e_sq = jnp.sum(emb**2, axis=-1)
+        dots = jnp.dot(flat, emb.T, preferred_element_type=jnp.float32, precision="highest")
+        distances = z_sq - 2.0 * dots + e_sq[None, :]
+        return jnp.argmin(distances, axis=-1).reshape(B, H, W).astype(jnp.int32)
+
 
 class VAE(nn.Module):
     """Switchable-bottleneck autoencoder (reference modules/vae.py:11-121).
@@ -372,6 +390,14 @@ class VAE(nn.Module):
         else:
             out = z
         return out, jnp.mean(kl), jnp.float32(0.0)
+
+    def encode_indices(self, x):
+        """VQ only: encoder forward + nearest-codebook indices (B, h, w).
+        Drives codebook-utilization measurement (unique codes used / size)
+        without mutating EMA state."""
+        if self.bottleneck != "vq":
+            raise ValueError("encode_indices requires the VQ bottleneck")
+        return self.codebook.indices(self.encoder(x))
 
     def decode(self, z, quantize: bool = False):
         if self.bottleneck == "kl" and quantize:

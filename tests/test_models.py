@@ -211,3 +211,32 @@ def test_discriminator_output_map_and_params():
     )(variables)
     assert out2.shape == (2, 15, 15, 1)
     assert "batch_stats" in mutated
+
+
+def test_vq_encode_indices_consistent_with_quantized_encode():
+    """VAE.encode_indices returns the nearest-codebook index per position
+    (the utilization/perplexity measurement surface — reference README.md:14
+    publishes >83% codebook utilization): embeddings[idx] must equal the
+    quantized encode output exactly, without mutating EMA state."""
+    from image_diffusion_tpu.models.vae import VAE
+
+    m = VAE(channels=(8, 16), z_dim=3, bottleneck="vq", codebook_size=16,
+            codebook_beta=0.25, codebook_gamma=0.99, num_groups=4,
+            init_resolution=16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.key(1)}, x))()
+    idx = jax.jit(lambda v: m.apply(v, x, method="encode_indices"))(v)
+    assert idx.shape == (2, 8, 8) and idx.dtype == jnp.int32
+    z, _, _ = jax.jit(
+        lambda v: m.apply(v, x, sample=False, method="encode"))(v)
+    emb = np.asarray(v["codebook"]["codebook"]["embeddings"])
+    np.testing.assert_allclose(np.asarray(z), emb[np.asarray(idx)],
+                               rtol=1e-5, atol=1e-5)
+
+    # KL models have no codebook to index
+    kl = VAE(channels=(8, 16), z_dim=3, num_groups=4, init_resolution=16,
+             dtype=jnp.float32)
+    vkl = jax.jit(lambda: kl.init(
+        {"params": jax.random.key(1), "sample": jax.random.key(2)}, x))()
+    with pytest.raises(ValueError):
+        kl.apply(vkl, x, method="encode_indices")
