@@ -140,11 +140,11 @@ def test_gap_attribution(trace_dir, capsys):
 
 
 def test_hlo_join_parser():
-    """tools/trace_sampler_r4's HLO joiner: instruction names, HBM byte
+    """tools/trace_residue's HLO joiner: instruction names, HBM byte
     estimates (scoped-memory S(1)/S(2) buffers never touch HBM and count
     zero), operand resolution, and op_name-metadata classification — the
     machinery behind docs/sampler_residue_r4.json's per-family table."""
-    from trace_sampler_r4 import classify, fusion_bytes, parse_hlo, shape_bytes
+    from trace_residue import classify, fusion_bytes, parse_hlo, shape_bytes
 
     # layout annotations carry parens (tiling) and scoped-memory markers
     assert shape_bytes("bf16[54,1024,256]{2,1,0:T(8,128)(2,1)}") == \
