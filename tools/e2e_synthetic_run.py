@@ -207,7 +207,8 @@ def main():
     imgs, labels = make_dataset(args.n_per_class)
     # sanity: the classifier separates the REAL data perfectly
     real_acc = np.mean(
-        [classify(imgs[i].astype(np.float32) / 255.0) == labels[i] for i in range(300)]
+        [classify(imgs[i].astype(np.float32) / 255.0) == labels[i]
+         for i in range(min(300, len(imgs)))]
     )
     report["real_classifier_acc"] = float(real_acc)
     assert real_acc > 0.95, f"stat classifier broken on real data: {real_acc}"

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Round-5 stretch probe: can XLA flags buy back the sub-peak conv time?
+
+docs/sampler_residue_r4.json attributes 0.77s of the 13.2s production grid
+to in-loop convolution fusions running at ~84% MFU with HBM at 3.2% of
+bound — i.e. compute-side scheduling loss inside XLA's own conv fusions,
+not bandwidth.  Kernel-writing is not the lever here (the convs are
+already XLA's, and the r3 GroupNorm Pallas kernel lost to XLA's fusion
+both ways, docs/loop_experiments_r3.json) — but XLA's fusion sizing is
+tunable via documented flags.  This probes the plausible ones on the
+50-step ddim 27-image grid (min of 3, fresh subprocess per variant so
+compile caches cannot alias across flag sets):
+
+  scoped_vmem_48m / scoped_vmem_8m — --xla_tpu_scoped_vmem_limit_kib
+      resizes the VMEM budget the fusion sizer works against; larger can
+      admit deeper conv+GN+SiLU fusions, smaller forces splits (the
+      "split the biggest fusions" probe from VERDICT r4 task 8, without
+      hand-editing model code).
+  no_rwb — --xla_tpu_rwb_fusion=false disables reduce-window-broadcast
+      fusions (GroupNorm's reduce+broadcast pattern); tests whether the
+      GN statistics fused INTO the convs are what holds them below peak.
+
+Decision rule (kernel-rent, applied to flags): a flag set ships — wired
+into the sampler CLI docs — only if it wins outside noise; otherwise this
+JSON is the negative-result record.
+
+    python tools/measure_convflags_r5.py --out docs/convflags_r5.json
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from measure_packed_maxc import _CHILD  # noqa: E402
+
+VARIANTS = {
+    "baseline": "",
+    "scoped_vmem_48m": "--xla_tpu_scoped_vmem_limit_kib=49152",
+    "scoped_vmem_8m": "--xla_tpu_scoped_vmem_limit_kib=8192",
+    "no_rwb": "--xla_tpu_rwb_fusion=false",
+}
+
+
+def run(xla_flags: str) -> dict:
+    env = dict(os.environ)
+    base = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (base + " " + xla_flags).strip()
+    # measured under the SHIPPED sampler routing
+    env["IDTPU_PALLAS_ATTN"] = "1"
+    code = "import json\n" + _CHILD % {"repo": REPO, "mode": "sample"}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"flags={xla_flags!r} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/convflags_r5.json")
+    args = p.parse_args()
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:  # resume a partial run
+            results = json.load(f)
+    for name, flags in VARIANTS.items():
+        if name in results:
+            continue
+        r = run(flags)
+        results[name] = {"xla_flags": flags,
+                         **{k: round(v, 4) for k, v in r.items()}}
+        print(f"[{name}] {results[name]}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
