@@ -128,21 +128,25 @@ _LOG2E = 1.4426950408889634
 
 
 def _use_exp2() -> bool:
-    """IDTPU_PACKED_EXP2=1 (read at trace time) selects the clamped-exp2
-    softmax inside the packed forward: log2(e) folds into the q scale
-    (free — it multiplies an existing per-element scale), scores are
-    clamped to [-100, 100] in the log2 domain instead of row-max-shifted,
-    and the weights come from one exp2 pass.  That removes two VPU passes
-    over the (N, N) score matrix (max-reduce + subtract) and, more
-    importantly for Mosaic's scheduler, deletes the reduce->elementwise
-    dependency in front of the exp — the packed kernels are compute-bound
-    with the softmax VPU work partially serialized against the masked MXU
-    matmuls (docs/sampler_residue_r4.json: 82% in-kernel pass rate).
+    """Clamped-exp2 softmax inside the packed kernels — the DEFAULT since
+    round 5 (IDTPU_PACKED_EXP2=0 opts back into the row-max-shifted exp,
+    read at trace time).  log2(e) folds into the q scale (free — it
+    multiplies an existing per-element scale), scores are clamped to
+    [-100, 100] in the log2 domain instead of row-max-shifted, and the
+    weights come from one exp2 pass.  That removes two VPU passes over the
+    (N, N) score matrix (max-reduce + subtract) and, more importantly for
+    Mosaic's scheduler, deletes the reduce->elementwise dependency in
+    front of the exp — the packed kernels are compute-bound with the
+    softmax VPU work partially serialized against the masked MXU matmuls
+    (docs/sampler_residue_r4.json: 82% in-kernel pass rate).  Measured on
+    the chip (docs/packed_schedule_r5.json): 50-step grid 0.924 -> 0.859s
+    (-7.0%), b48 train step 42.8 -> 41.2ms (-3.7%) — the only winner of
+    the round-5 schedule sweep (wide and blockq256 both lost).
     Exact softmax wherever no clamp fires (shift invariance); the clamp
     bounds exp2 to [2^-100, 2^100] so a row can neither overflow fp32 in
     the sum (N * 2^100 ~ 1.3e33) nor underflow to an all-zero denominator
     (2^-100 ~ 8e-31 >> fp32 min normal)."""
-    return os.environ.get("IDTPU_PACKED_EXP2", "0") == "1"
+    return os.environ.get("IDTPU_PACKED_EXP2", "1") == "1"
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
@@ -196,98 +200,6 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
         o_ref[0, :, sl] = acc.astype(o_ref.dtype)
 
 
-def _wide_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
-                 num_heads: int, scale: float, exp2: bool):
-    """Block-diagonal 'wide' schedule of the packed forward (round-5
-    in-kernel-pass-rate experiment, IDTPU_PACKED_WIDE=1).
-
-    The baseline `_packed_kernel` issues 2*hpg small masked matmuls per
-    group with a VPU softmax between each score/AV pair; the r4 residue
-    trace (docs/sampler_residue_r4.json) prices the resulting MXU pipeline
-    bubbles + serialized softmax at an 82% in-kernel pass rate.  This
-    schedule removes the per-head loop: mask K and V ONCE into
-    block-diagonal wide operands
-        Kw[h*N+j, :] = K[j, :] * mask_h      (hpg*N, gw)
-        Vw[h*N+j, :] = V[j, :] * mask_h
-    so UNMASKED q against Kw^T yields every head's scores in one long
-    matmul — S[:, h*N+j] = sum_l q[l] K[j,l] mask_h[l] = S_h[:, j] — and
-    P @ Vw accumulates every head's output into its own lane band in one
-    more.  Two MXU streams per group (same executed FLOPs as the
-    baseline's 2*hpg), one batched softmax over the (Bq, hpg, N) view.
-
-    Kw/Vw live in scratch and are built once per batch row (at the first
-    Q-block grid step); the Q-row axis must be blocked at N=1024 to keep
-    the (Bq, hpg*N) fp32 score matrix inside VMEM."""
-    qi = pl.program_id(1)
-    k = k_ref[0].astype(jnp.bfloat16)         # (N, C) full rows
-    v = v_ref[0].astype(jnp.bfloat16)
-    N = k.shape[0]
-    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E if exp2 else scale)
-    Bq, C = q.shape
-    d = C // num_heads
-    gw = _group_width(C, d)
-    hpg = gw // d
-
-    @pl.when(qi == 0)
-    def _build_wide():
-        # head band of wide row r = r // N; lane l belongs to head l // d
-        row_h = jax.lax.broadcasted_iota(jnp.int32, (hpg * N, gw), 0) // N
-        lane_h = jax.lax.broadcasted_iota(jnp.int32, (hpg * N, gw), 1) // d
-        mask = (row_h == lane_h).astype(jnp.bfloat16)
-        for g in range(C // gw):
-            sl = slice(g * gw, (g + 1) * gw)
-            kt = jnp.broadcast_to(k[:, sl], (hpg, N, gw)).reshape(hpg * N, gw)
-            vt = jnp.broadcast_to(v[:, sl], (hpg, N, gw)).reshape(hpg * N, gw)
-            kw_ref[g] = kt * mask
-            vw_ref[g] = vt * mask
-
-    for g in range(C // gw):
-        sl = slice(g * gw, (g + 1) * gw)
-        qg = q[:, sl].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            qg, kw_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Bq, hpg*N) — all heads' scores in one MXU stream
-        s3 = s.reshape(Bq, hpg, N)
-        if exp2:
-            w = jnp.exp2(jnp.clip(s3, -100.0, 100.0))
-            p3 = w / jnp.sum(w, axis=-1, keepdims=True)
-        else:
-            p3 = jax.nn.softmax(s3, axis=-1)
-        p = p3.reshape(Bq, hpg * N).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            p, vw_ref[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Bq, gw): each head lands in its own lane band
-        o_ref[0, :, sl] = acc.astype(o_ref.dtype)
-
-
-def _use_wide(C: int, num_heads: int, N: int) -> bool:
-    """IDTPU_PACKED_WIDE=1 (read at trace time) routes grouped sites to the
-    block-diagonal wide schedule when it applies: heads must tile the
-    128-lane group (hpg > 1 — with one head per group the baseline already
-    runs one long matmul) and the wide operands must fit VMEM."""
-    if os.environ.get("IDTPU_PACKED_WIDE", "0") != "1":
-        return False
-    d = C // num_heads
-    gw = _group_width(C, d)
-    if gw != 128 or gw // d <= 1:
-        return False
-    # scratch: 2 groups' worth of (hpg*N, 128) bf16 per group set
-    wide_bytes = (C // gw) * 2 * (gw // d) * N * gw * 2
-    return wide_bytes <= 10 * 1024 * 1024
-
-
-def _wide_block_q(N: int, hpg: int) -> int:
-    """Q-row block for the wide schedule: cap the fp32 (Bq, hpg*N) score
-    matrix at ~4MB."""
-    max_bq = max((4 * 1024 * 1024) // (hpg * N * 4), 8)
-    bq = N
-    while bq > max_bq and bq % 2 == 0:
-        bq //= 2
-    return bq
-
-
 def packed_attention(q, k, v, *, num_heads: int, interpret: bool = False):
     """Packed-lane self-attention: q/k/v (B, N, C) -> (B, N, C).
 
@@ -313,28 +225,6 @@ def _fwd_block_q(N: int) -> int:
 def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     B, N, C = q.shape
     full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
-    if _use_wide(C, num_heads, N):
-        d = C // num_heads
-        gw = _group_width(C, d)
-        hpg = gw // d
-        bq = _wide_block_q(N, hpg)
-        kvspec = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
-                              memory_space=pltpu.VMEM)
-        qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0),
-                             memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_wide_kernel, num_heads=num_heads, scale=scale,
-                              exp2=_use_exp2()),
-            out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
-            grid=(B, N // bq),
-            in_specs=[qspec, kvspec, kvspec],
-            out_specs=qspec,
-            scratch_shapes=[
-                pltpu.VMEM((C // gw, hpg * N, gw), jnp.bfloat16),  # Kw
-                pltpu.VMEM((C // gw, hpg * N, gw), jnp.bfloat16),  # Vw
-            ],
-            interpret=interpret,
-        )(q, k, v)
     bq = _fwd_block_q(N)
     kernel = functools.partial(
         _packed_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2()
@@ -355,13 +245,18 @@ def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     )(q, k, v)
 
 
-# Two measured-loss kernels were DELETED here under the kernel-rent rule
+# Three measured-loss kernels were DELETED here under the kernel-rent rule
 # (round 5): `banded_packed_attention` (the d=48 head repack — 0.953s vs
-# 0.889s on the 50-step grid, docs/banded_r4.json) and
-# `fused_site_attention` (projections + attention + residual in one Pallas
-# call — 13.49s vs 13.24s grid, docs/fused_site_r4.json).  The measurement
-# JSONs and git history (commit 957693c and earlier) preserve both results;
-# resurrect from history only if the shape profile changes.
+# 0.889s on the 50-step grid, docs/banded_r4.json), `fused_site_attention`
+# (projections + attention + residual in one Pallas call — 13.49s vs
+# 13.24s grid, docs/fused_site_r4.json), and `_wide_kernel` (block-diagonal
+# wide schedule: ONE long score + ONE AV matmul per group instead of 2*hpg
+# masked ones — 1.602s vs 0.924s on the 50-step grid, the in-kernel masked
+# broadcast building the (hpg*N, gw) wide K/V costing far more than the
+# per-head pipeline drains it removes; its exp2 variant additionally blew
+# the 16MB scoped-VMEM limit at compile, docs/packed_schedule_r5.json).
+# The measurement JSONs and git history preserve all three; resurrect from
+# history only if the shape profile changes.
 
 
 def reference_packed_attention(q, k, v, num_heads: int, scale: float):

@@ -14,11 +14,11 @@ in-process env flips):
           matrix and no reduce->elementwise dependency before the exp
           (ops/pallas/attention.py:_use_exp2; written round 4, measured
           here).
-  wide    IDTPU_PACKED_WIDE=1 — block-diagonal wide schedule: masked
-          (hpg*N, gw) K/V built once in scratch, ONE long score matmul +
-          ONE AV matmul per group instead of 2*hpg small ones (same
-          executed FLOPs, no per-head pipeline drains), batched softmax
-          (ops/pallas/attention.py:_wide_kernel).
+  wide    block-diagonal wide schedule: masked (hpg*N, gw) K/V built once
+          in scratch, ONE long score matmul + ONE AV matmul per group
+          instead of 2*hpg small ones.  MEASURED 1.602s vs 0.924s and
+          DELETED from the tree (kernel-rent); its exp2 combination blew
+          the 16MB scoped-VMEM limit at compile.  Code in git history.
   blockq  IDTPU_PACKED_BLOCK_Q=256 — Q-row-blocked baseline grid (smaller
           VMEM score matrices, more grid-level pipelining).
 
@@ -45,8 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from measure_packed_maxc import _CHILD  # noqa: E402
 
-_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_WIDE": "0",
-           "IDTPU_PACKED_BLOCK_Q": "0"}
+_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0"}
 
 
 def run(mode: str, extra_env: dict) -> dict:
@@ -75,18 +74,17 @@ def main():
         ("sample_baseline", "sample", {"IDTPU_PALLAS_ATTN": "1"}),
         ("sample_exp2", "sample",
          {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_EXP2": "1"}),
-        ("sample_wide", "sample",
-         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_WIDE": "1"}),
-        ("sample_wide_exp2", "sample",
-         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_WIDE": "1",
-          "IDTPU_PACKED_EXP2": "1"}),
+        # sample_wide measured 1.6022s vs 0.924s baseline (73% SLOWER: the
+        # in-kernel masked broadcast building the (hpg*N, gw) wide K/V
+        # costs far more than the per-head pipeline drains it removes) and
+        # sample_wide_exp2 failed to compile (scoped VMEM 16.18M > 16.00M
+        # limit).  Wide + its train variant dropped; kernel deleted per the
+        # kernel-rent rule with this sweep's JSON as the record.
         ("sample_blockq256", "sample",
          {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_BLOCK_Q": "256"}),
         ("train_baseline", "train", {"IDTPU_PALLAS_ATTN": "packed"}),
         ("train_exp2", "train",
          {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1"}),
-        ("train_wide", "train",
-         {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_WIDE": "1"}),
     ]
 
     results = {}
