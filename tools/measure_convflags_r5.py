@@ -46,20 +46,31 @@ VARIANTS = {
 }
 
 
-def run(xla_flags: str) -> dict:
+def run(xla_flags: str, workload: str = "sample") -> dict:
     env = dict(os.environ)
     base = env.get("XLA_FLAGS", "")
     env["XLA_FLAGS"] = (base + " " + xla_flags).strip()
-    # measured under the SHIPPED sampler routing
-    env["IDTPU_PALLAS_ATTN"] = "1"
-    code = "import json\n" + _CHILD % {"repo": REPO, "mode": "sample"}
-    out = subprocess.run([sys.executable, "-c", code], env=env,
+    if workload == "sample":
+        # measured under the SHIPPED sampler routing
+        env["IDTPU_PALLAS_ATTN"] = "1"
+        cmd = [sys.executable, "-c",
+               "import json\n" + _CHILD % {"repo": REPO, "mode": "sample"}]
+    else:
+        # the VAE-GAN train step: docs/vae_step_residue_r5.json puts its
+        # conv fusions at 24% of the HBM bound (compute-side) with no
+        # single-op lever left — XLA conv fusion sizing is the only knob.
+        cmd = [sys.executable, os.path.join(REPO, "tools", "measure_accum_r4.py"),
+               "--accums", "1"]
+    out = subprocess.run(cmd, env=env, cwd=REPO,
                          capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
+        if workload != "sample" and line.startswith('{"grad_accum": 1'):
+            row = json.loads(line)
+            return {"step_ms": row["step_ms"], "img_per_sec": row["img_per_sec"]}
     raise RuntimeError(
-        f"flags={xla_flags!r} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+        f"flags={xla_flags!r}/{workload} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
 def main():
@@ -71,15 +82,17 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:  # resume a partial run
             results = json.load(f)
-    for name, flags in VARIANTS.items():
-        if name in results:
-            continue
-        r = run(flags)
-        results[name] = {"xla_flags": flags,
-                         **{k: round(v, 4) for k, v in r.items()}}
-        print(f"[{name}] {results[name]}", flush=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+    for workload in ("sample", "vae_step"):
+        for name, flags in VARIANTS.items():
+            key = name if workload == "sample" else f"vae_step_{name}"
+            if key in results:
+                continue
+            r = run(flags, workload)
+            results[key] = {"xla_flags": flags,
+                            **{k: round(v, 4) for k, v in r.items()}}
+            print(f"[{key}] {results[key]}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
     print("wrote", args.out)
 
 

@@ -45,7 +45,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from measure_packed_maxc import _CHILD  # noqa: E402
 
-_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0"}
+_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0",
+           "IDTPU_PACKED_DEFER_NORM": "0"}
 
 
 def run(mode: str, extra_env: dict) -> dict:
@@ -85,6 +86,15 @@ def main():
         ("train_baseline", "train", {"IDTPU_PALLAS_ATTN": "packed"}),
         ("train_exp2", "train",
          {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1"}),
+        # round-5 second wave, measured on top of the adopted exp2 default:
+        # deferred normalization (unnormalized AV + reciprocal on the
+        # (Bq, gw) band — attention.py:_defer_norm)
+        ("sample_defer", "sample",
+         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_EXP2": "1",
+          "IDTPU_PACKED_DEFER_NORM": "1"}),
+        ("train_defer", "train",
+         {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1",
+          "IDTPU_PACKED_DEFER_NORM": "1"}),
     ]
 
     results = {}
