@@ -149,25 +149,8 @@ def _use_exp2() -> bool:
     return os.environ.get("IDTPU_PACKED_EXP2", "1") == "1"
 
 
-def _defer_norm() -> bool:
-    """Round-5 schedule candidate (IDTPU_PACKED_DEFER_NORM=1, trace-time):
-    defer the softmax normalization past the AV matmul in the packed
-    FORWARD.  Instead of dividing the full (Bq, N) weight matrix by its
-    rowsum before the MXU AV product, multiply the UNNORMALIZED exp2
-    weights into V and scale the (Bq, gw) accumulator band by the row
-    reciprocal — mathematically identical (normalization is linear), but
-    it (a) deletes one VPU pass over every (N, N) score matrix per head
-    and (b) removes the sum->divide dependency from in front of the AV
-    matmul, so the rowsum/reciprocal can overlap the MXU pass.  Range
-    safety: w <= 2^100 fits bf16 (max 2^127·(2−2⁻⁷)); the fp32 AV
-    accumulator peaks at N·2^100·|v| ~ 2^113·O(10) < 2^128.  Backward
-    keeps the normalized recompute — its P feeds three products, so the
-    divide there amortizes.  Exp2-path only (exp2 is the default)."""
-    return os.environ.get("IDTPU_PACKED_DEFER_NORM", "0") == "1"
-
-
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
-                   exp2: bool = False, defer_norm: bool = False):
+                   exp2: bool = False):
     """All heads of one batch row, heads PACKED in lanes (N, C), C = h*d.
 
     Per-head scores come from a lane-masked matmul over the head's
@@ -204,23 +187,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float,
             s = jax.lax.dot_general(
                 qh, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # (Bq, N)
-            vh = vg * mask
             if exp2:
                 # scores already in the log2 domain (see _use_exp2)
                 w = jnp.exp2(jnp.clip(s, -100.0, 100.0))
-                if defer_norm:
-                    # unnormalized AV + per-row reciprocal on the (Bq, gw)
-                    # band — see _defer_norm
-                    r = 1.0 / jnp.sum(w, axis=-1, keepdims=True)
-                    ov = jax.lax.dot_general(
-                        w.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc = acc + ov * r
-                    continue
                 p = (w / jnp.sum(w, axis=-1, keepdims=True)).astype(jnp.bfloat16)
             else:
                 p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            vh = vg * mask
             acc = acc + jax.lax.dot_general(
                 p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -254,8 +227,7 @@ def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     full = pl.BlockSpec((1, N, C), lambda *i: (i[0], 0, 0), memory_space=pltpu.VMEM)
     bq = _fwd_block_q(N)
     kernel = functools.partial(
-        _packed_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2(),
-        defer_norm=_defer_norm(),
+        _packed_kernel, num_heads=num_heads, scale=scale, exp2=_use_exp2()
     )
     if bq:
         qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
@@ -273,7 +245,17 @@ def _packed_forward(q, k, v, num_heads: int, scale: float, interpret: bool):
     )(q, k, v)
 
 
-# Three measured-loss kernels were DELETED here under the kernel-rent rule
+# Four measured-loss schedules/kernels were DELETED here under the
+# kernel-rent rule.  Round-5 second wave: `defer_norm` (softmax
+# normalization deferred past the AV matmul — unnormalized exp2 weights
+# into the MXU product, row reciprocal on the (Bq, gw) accumulator band;
+# one fewer VPU pass per head and no sum->divide dependency before the AV
+# matmul) measured a 1.5% grid LOSS at a 6x costlier Mosaic compile and
+# flat train time (docs/packed_schedule_r5.json "defer_norm").  The same
+# experiment established that packed-kernel EMISSION ORDER is load-bearing:
+# hoisting the vh mask-multiply above the softmax cost 18% grid time on
+# its own — schedule changes must go through tools/measure_schedule_r5.py.
+# Round-4 wave — three more losers:
 # (round 5): `banded_packed_attention` (the d=48 head repack — 0.953s vs
 # 0.889s on the 50-step grid, docs/banded_r4.json), `fused_site_attention`
 # (projections + attention + residual in one Pallas call — 13.49s vs

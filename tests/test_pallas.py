@@ -227,42 +227,6 @@ def test_packed_exp2_softmax_matches_reference_form(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2)
 
 
-def test_packed_defer_norm_matches_normalized_form(monkeypatch):
-    """IDTPU_PACKED_DEFER_NORM=1 moves the softmax normalization past the
-    AV matmul (unnormalized exp2 weights into V, row reciprocal applied to
-    the (Bq, gw) accumulator band — `_defer_norm`).  Normalization is
-    linear, so interpret-mode outputs must agree with the in-place divide
-    to bf16 accumulation noise, including under the clamp."""
-    from image_diffusion_tpu.ops.pallas.attention import _packed_forward
-
-    key = jax.random.key(17)
-    q = jax.random.normal(key, (2, 64, 128), jnp.float32)
-    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, 128), jnp.float32)
-    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 128), jnp.float32)
-    scale = 1.0 / np.sqrt(16)
-
-    monkeypatch.setenv("IDTPU_PACKED_EXP2", "1")
-    monkeypatch.delenv("IDTPU_PACKED_DEFER_NORM", raising=False)
-    base = np.asarray(_packed_forward(q, k, v, 8, scale, True))
-    monkeypatch.setenv("IDTPU_PACKED_DEFER_NORM", "1")
-    deferred = np.asarray(_packed_forward(q, k, v, 8, scale, True))
-    np.testing.assert_allclose(deferred, base, atol=2e-2, rtol=2e-2)
-    # extreme logits: the clamp bounds w at 2^100; unnormalized AV and the
-    # reciprocal must stay finite
-    hot = np.asarray(_packed_forward(q * 1e3, k * 1e3, v, 8, scale, True))
-    assert np.isfinite(hot).all()
-    # the backward is UNCHANGED by defer_norm (normalized recompute) —
-    # gradients of the deferred forward must match the baseline's
-    def loss(q, k, v):
-        return jnp.sum(_packed_forward(q, k, v, 8, scale, True) ** 2)
-
-    g_def = jax.grad(loss, (0, 1, 2))(q, k, v)
-    monkeypatch.delenv("IDTPU_PACKED_DEFER_NORM")
-    g_base = jax.grad(loss, (0, 1, 2))(q, k, v)
-    for a, b in zip(g_def, g_base):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-2)
-
-
 def test_site_route(monkeypatch):
     """Per-site routing: measured defaults plus the REQUIRE_GROUPED
     experiment flag that excludes ungroupable channel counts."""

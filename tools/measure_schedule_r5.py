@@ -45,8 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from measure_packed_maxc import _CHILD  # noqa: E402
 
-_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0",
-           "IDTPU_PACKED_DEFER_NORM": "0"}
+_PINNED = {"IDTPU_PACKED_EXP2": "0", "IDTPU_PACKED_BLOCK_Q": "0"}
 
 
 def run(mode: str, extra_env: dict) -> dict:
@@ -86,15 +85,13 @@ def main():
         ("train_baseline", "train", {"IDTPU_PALLAS_ATTN": "packed"}),
         ("train_exp2", "train",
          {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1"}),
-        # round-5 second wave, measured on top of the adopted exp2 default:
-        # deferred normalization (unnormalized AV + reciprocal on the
-        # (Bq, gw) band — attention.py:_defer_norm)
-        ("sample_defer", "sample",
-         {"IDTPU_PALLAS_ATTN": "1", "IDTPU_PACKED_EXP2": "1",
-          "IDTPU_PACKED_DEFER_NORM": "1"}),
-        ("train_defer", "train",
-         {"IDTPU_PALLAS_ATTN": "packed", "IDTPU_PACKED_EXP2": "1",
-          "IDTPU_PACKED_DEFER_NORM": "1"}),
+        # round-5 second wave: deferred normalization (unnormalized AV +
+        # reciprocal on the (Bq, gw) band) measured a 1.5% grid LOSS at a
+        # 6x costlier Mosaic compile, flat train — DELETED per the
+        # kernel-rent rule (docs/packed_schedule_r5.json "defer_norm";
+        # code in git history).  That A/B also caught an 18% grid
+        # regression from merely hoisting the vh mask-multiply above the
+        # softmax: emission order inside the packed kernel is load-bearing.
     ]
 
     results = {}
