@@ -143,6 +143,20 @@ class Decoder(nn.Module):
         return x
 
 
+def nearest_code(flat, emb):
+    """Squared-distance argmin via the MXU: |z|^2 - 2 z.e + |e|^2.
+
+    One copy shared by Codebook.__call__ and Codebook.indices so the
+    published utilization/perplexity numbers always describe the same
+    argmin (incl. precision="highest" tie behavior) the quantizer emits.
+    flat: (N, C) fp32 tokens, emb: (K, C) fp32 codebook -> (N,) int."""
+    z_sq = jnp.sum(flat**2, axis=-1, keepdims=True)
+    e_sq = jnp.sum(emb**2, axis=-1)
+    dots = jnp.dot(flat, emb.T, preferred_element_type=jnp.float32, precision="highest")
+    distances = z_sq - 2.0 * dots + e_sq[None, :]
+    return jnp.argmin(distances, axis=-1)
+
+
 def codebook_ema_update(ema_cluster_size, ema_w, counts, dw, gamma: float, epsilon: float):
     """One EMA codebook update from batch statistics -> (cluster_size, ema_w,
     embeddings).  Shared by the in-forward update and the grad-accumulation
@@ -205,12 +219,7 @@ class Codebook(nn.Module):
         flat = z.reshape(-1, C).astype(jnp.float32)  # (N, C), N = B*H*W
         emb = embeddings.value  # (K, C) fp32
 
-        # Squared-distance argmin via the MXU: |z|^2 - 2 z.e + |e|^2.
-        z_sq = jnp.sum(flat**2, axis=-1, keepdims=True)
-        e_sq = jnp.sum(emb**2, axis=-1)
-        dots = jnp.dot(flat, emb.T, preferred_element_type=jnp.float32, precision="highest")
-        distances = z_sq - 2.0 * dots + e_sq[None, :]
-        indices = jnp.argmin(distances, axis=-1)  # (N,)
+        indices = nearest_code(flat, emb)  # (N,)
 
         quant = jnp.take(emb, indices, axis=0)  # lookup BEFORE any EMA update
 
@@ -273,11 +282,7 @@ class Codebook(nn.Module):
         flat = z.reshape(-1, C).astype(jnp.float32)
         # read-only access (self.variable would need a compact context)
         emb = self.get_variable("codebook", "embeddings")
-        z_sq = jnp.sum(flat**2, axis=-1, keepdims=True)
-        e_sq = jnp.sum(emb**2, axis=-1)
-        dots = jnp.dot(flat, emb.T, preferred_element_type=jnp.float32, precision="highest")
-        distances = z_sq - 2.0 * dots + e_sq[None, :]
-        return jnp.argmin(distances, axis=-1).reshape(B, H, W).astype(jnp.int32)
+        return nearest_code(flat, emb).reshape(B, H, W).astype(jnp.int32)
 
 
 class VAE(nn.Module):

@@ -73,14 +73,21 @@ def _write_yaml(path, text):
         f.write(text)
 
 
-def test_cli_pipeline_end_to_end(workdir):
+@pytest.fixture(scope="module")
+def vae_blob(workdir):
+    """prepare_dataset vae output, shared by the KL and VQ pipeline tests
+    so either can run in isolation (-k vq, --last-failed, xdist)."""
     d = str(workdir)
-
-    # ---- 1. prepare vae dataset ----
     run_cli([f"{SCRIPTS}/prepare_dataset.py", "vae", "--vae-images", f"{d}/images",
              "--image-size", "16", "--out", d, "--use-cpu"])
     blob = os.path.join(d, "vae_dataset.npy")
     assert np.load(blob).shape == (6, 16, 16, 3)
+    return blob
+
+
+def test_cli_pipeline_end_to_end(workdir, vae_blob):
+    d = str(workdir)
+    blob = vae_blob
 
     # ---- 2. train stage 1 (with LPIPS + FID wired) ----
     vae_yaml = os.path.join(d, "vae.yaml")
@@ -248,7 +255,7 @@ log_interval: 2
     assert np.isfinite(score) and score >= 0.0
 
 
-def test_cli_vq_pipeline_end_to_end(workdir):
+def test_cli_vq_pipeline_end_to_end(workdir, vae_blob):
     """The VQ shipped-config path as an executed CLI chain (the r4 cosine
     treatment, VERDICT r4 missing #1): train_vae with bottleneck vq ->
     perplexity metrics in the CSV -> VQ latents via prepare_dataset ->
@@ -256,8 +263,7 @@ def test_cli_vq_pipeline_end_to_end(workdir):
     re-quantizes (reference modules/vae.py:115-121; README.md:14 publishes
     >83% codebook utilization for this config)."""
     d = str(workdir)
-    blob = os.path.join(d, "vae_dataset.npy")
-    assert os.path.exists(blob), "runs after test_cli_pipeline_end_to_end"
+    blob = vae_blob
 
     # ---- 1. stage 1 with the VQ bottleneck (shipped vae-vq-32x32.yaml
     # hyperparameters, tiny backbone) ----

@@ -338,17 +338,22 @@ def main():
                                      dtype=jnp.float32)
             return jnp.sum(one_hot, axis=0)
 
+        # clamp so a probe set smaller than --batch still yields one batch
+        # (otherwise the loop is empty and 0/0 would publish NaN-derived
+        # utilization 0.0 into the report AND the append-only history gate)
+        pb = min(args.batch, len(probe))
         counts = np.zeros((arch.codebook_size,), np.float64)
-        for i in range(0, len(probe) - args.batch + 1, args.batch):
+        for i in range(0, len(probe) - pb + 1, pb):
             counts += np.asarray(code_counts(
                 vt.state.vae_params, vt.state.codebook,
-                jnp.asarray(probe[i : i + args.batch])))
+                jnp.asarray(probe[i : i + pb])))
+        assert counts.sum() > 0, "empty VQ probe set"
         probs = counts / counts.sum()
         ent = -np.sum(probs[probs > 0] * np.log(probs[probs > 0]))
         report["vq_codebook_size"] = int(arch.codebook_size)
         report["vq_codebook_utilization"] = round(float(np.mean(counts > 0)), 4)
         report["vq_dev_perplexity"] = round(float(np.exp(ent)), 2)
-        report["vq_dev_images"] = int((len(probe) // args.batch) * args.batch)
+        report["vq_dev_images"] = int((len(probe) // pb) * pb)
         print(f"[vq] utilization {report['vq_codebook_utilization']:.1%} of "
               f"{arch.codebook_size} codes; dev perplexity "
               f"{report['vq_dev_perplexity']}", flush=True)

@@ -36,6 +36,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+if os.environ.get("IDTPU_COMPILER_OPTIONS"):
+    # measure_convflags_r5.py drives this tool under XLA compiler-option
+    # variants; the shim must patch jax.jit before any library import
+    import compiler_opts_shim
+
+    compiler_opts_shim.activate()
+
 import numpy as np
 
 PEAK_BF16_FLOPS = 197e12
@@ -76,12 +83,18 @@ def measure_one(accum: int) -> dict:
     x = jnp.asarray(rng.integers(0, 256, (batch, 128, 128, 3), dtype=np.uint8))
     key = jax.random.key(1)
 
-    lowered = trainer.train_step.jitted.lower(
-        trainer.state, x, key, disc_active=True)
-    c = lowered.compile().cost_analysis()
-    if isinstance(c, (list, tuple)):
-        c = c[0]
-    flops, bytes_ = float(c.get("flops", -1)), float(c.get("bytes accessed", -1))
+    flops = bytes_ = -1.0
+    if accum == 1:
+        # cost analysis is only published at accum=1 (scan-body
+        # undercounting, see below) — skip the extra AOT compile of the
+        # full VAE-GAN step for accum>1 rows, it would be discarded
+        lowered = trainer.train_step.jitted.lower(
+            trainer.state, x, key, disc_active=True)
+        c = lowered.compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        flops = float(c.get("flops", -1))
+        bytes_ = float(c.get("bytes accessed", -1))
 
     state = trainer.state
     for _ in range(4):

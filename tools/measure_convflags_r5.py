@@ -11,14 +11,21 @@ tunable via documented flags.  This probes the plausible ones on the
 50-step ddim 27-image grid (min of 3, fresh subprocess per variant so
 compile caches cannot alias across flag sets):
 
-  scoped_vmem_48m / scoped_vmem_8m — --xla_tpu_scoped_vmem_limit_kib
+  scoped_vmem_48m / scoped_vmem_8m — xla_tpu_scoped_vmem_limit_kib
       resizes the VMEM budget the fusion sizer works against; larger can
       admit deeper conv+GN+SiLU fusions, smaller forces splits (the
       "split the biggest fusions" probe from VERDICT r4 task 8, without
       hand-editing model code).
-  no_rwb — --xla_tpu_rwb_fusion=false disables reduce-window-broadcast
+  no_rwb — xla_tpu_rwb_fusion=false disables reduce-window-broadcast
       fusions (GroupNorm's reduce+broadcast pattern); tests whether the
       GN statistics fused INTO the convs are what holds them below peak.
+
+Delivery mechanism: the axon tunnel client ABORTS on TPU-backend flags in
+XLA_FLAGS (parse_flags_from_env rejects them before the program starts),
+so the flags ride the PJRT per-compile `compiler_options` path instead,
+injected into every child-process jit by tools/compiler_opts_shim.py via
+the IDTPU_COMPILER_OPTIONS env var.  Verified honored: a bogus value
+fails the remote compile with a server-side error.
 
 Decision rule (kernel-rent, applied to flags): a flag set ships — wired
 into the sampler CLI docs — only if it wins outside noise; otherwise this
@@ -39,30 +46,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from measure_packed_maxc import _CHILD  # noqa: E402
 
 VARIANTS = {
-    "baseline": "",
-    "scoped_vmem_48m": "--xla_tpu_scoped_vmem_limit_kib=49152",
-    "scoped_vmem_8m": "--xla_tpu_scoped_vmem_limit_kib=8192",
-    "no_rwb": "--xla_tpu_rwb_fusion=false",
+    "baseline": {},
+    "scoped_vmem_48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    "scoped_vmem_8m": {"xla_tpu_scoped_vmem_limit_kib": "8192"},
+    "no_rwb": {"xla_tpu_rwb_fusion": "false"},
 }
 
+_PREAMBLE = (
+    "import json, sys\n"
+    f"sys.path.insert(0, {os.path.join(REPO, 'tools')!r})\n"
+    "import compiler_opts_shim; compiler_opts_shim.activate()\n"
+)
 
-def run(xla_flags: str, workload: str = "sample") -> dict:
+
+def run(opts: dict, workload: str = "sample") -> dict:
     env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + xla_flags).strip()
+    env["IDTPU_COMPILER_OPTIONS"] = json.dumps(opts)
     if workload == "sample":
         # measured under the SHIPPED sampler routing
         env["IDTPU_PALLAS_ATTN"] = "1"
         cmd = [sys.executable, "-c",
-               "import json\n" + _CHILD % {"repo": REPO, "mode": "sample"}]
+               _PREAMBLE + _CHILD % {"repo": REPO, "mode": "sample"}]
     else:
         # the VAE-GAN train step: docs/vae_step_residue_r5.json puts its
         # conv fusions at 24% of the HBM bound (compute-side) with no
         # single-op lever left — XLA conv fusion sizing is the only knob.
+        # measure_accum_r4.py activates the shim itself when the env var
+        # is present.
         cmd = [sys.executable, os.path.join(REPO, "tools", "measure_accum_r4.py"),
                "--accums", "1"]
     out = subprocess.run(cmd, env=env, cwd=REPO,
-                         capture_output=True, text=True, timeout=3600)
+                         capture_output=True, text=True, timeout=7200)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -70,7 +84,7 @@ def run(xla_flags: str, workload: str = "sample") -> dict:
             row = json.loads(line)
             return {"step_ms": row["step_ms"], "img_per_sec": row["img_per_sec"]}
     raise RuntimeError(
-        f"flags={xla_flags!r}/{workload} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+        f"opts={opts!r}/{workload} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
 def main():
@@ -88,7 +102,7 @@ def main():
             if key in results:
                 continue
             r = run(flags, workload)
-            results[key] = {"xla_flags": flags,
+            results[key] = {"compiler_options": flags,
                             **{k: round(v, 4) for k, v in r.items()}}
             print(f"[{key}] {results[key]}", flush=True)
             with open(args.out, "w") as f:

@@ -401,6 +401,16 @@ def _flat_trace(label, fn, fn_args, trace_dir, top, iters=5):
     with jax.profiler.trace(trace_dir):
         np.asarray(jax_first_leaf(fn(*fn_args)))
 
+    return {"label": label,
+            **_family_report(compiled, trace_dir, dt, flops, top,
+                             label=label)}
+
+
+def _family_report(compiled, trace_dir, dt, flops, top, label="workload"):
+    """Shared per-family attribution: HLO parse -> trace leaf ops ->
+    family table -> printed roofline rows + report dict.  One copy so the
+    sampler/codec/vae-step reports cannot drift apart (the r4 one-offs
+    this tool consolidated did exactly that)."""
     instrs = parse_hlo(compiled.as_text())
     events, dev = load_trace_events(trace_dir)
     per_op, _ = leaf_ops(events, dev)
@@ -427,7 +437,7 @@ def _flat_trace(label, fn, fn_args, trace_dir, top, iters=5):
     print("top ops:")
     top_rows = top_op_rows(per_op, instrs, top)
     return {
-        "label": label, "wall_ms": round(dt * 1e3, 2),
+        "wall_ms": round(dt * 1e3, 2),
         "leaf_ms": round(leaf * 1e3, 2),
         "xla_tflop": round(flops / 1e12, 3),
         "mxu_floor_ms": round(flops / PEAK_BF16_FLOPS * 1e3, 2),
@@ -536,41 +546,9 @@ def run_vae_step(args):
         state, m = step(state, x, key, disc_active=True)
         np.asarray(m["vae/recon_loss"])
 
-    instrs = parse_hlo(compiled.as_text())
-    events, dev = load_trace_events(args.trace_dir)
-    per_op, _ = leaf_ops(events, dev)
-    fam_t, fam_n, fam_b, _, unmapped_t = family_table(
-        per_op, instrs, scoped=False)
-
-    leaf = sum(fam_t.values()) / 1e6
-    rows = []
-    print(f"\n=== vae-gan step: wall {dt * 1e3:.2f} ms, leaf "
-          f"{leaf * 1e3:.2f} ms, XLA {flops / 1e12:.2f} TFLOP -> floor "
-          f"{flops / PEAK_BF16_FLOPS * 1e3:.1f} ms ===")
-    print(f"{'family':<30}{'ms':>8}{'n':>7}{'GB':>8}{'GB/s':>8}{'xHBM':>6}")
-    for (_, fam), us in fam_t.most_common():
-        t = us / 1e6
-        k = ("", fam)
-        gb = fam_b[k] / 1e9
-        gbps = gb / t if t else 0.0
-        rows.append({"family": fam, "time_ms": round(t * 1e3, 3),
-                     "invocations": fam_n[k], "gbytes": round(gb, 3),
-                     "gbytes_per_s": round(gbps, 1),
-                     "frac_of_hbm_bound": round(gbps * 1e9 / HBM_BYTES_PER_S, 3)})
-        print(f"{fam:<30}{t * 1e3:>8.2f}{fam_n[k]:>7}{gb:>8.2f}"
-              f"{gbps:>8.1f}{gbps / 819:>6.2f}")
-    print("top ops:")
-    top_rows = top_op_rows(per_op, instrs, args.top)
-    return {
-        "workload": "vae_gan_train_step_b48_bf16_disc_active",
-        "wall_ms": round(dt * 1e3, 2),
-        "leaf_ms": round(leaf * 1e3, 2),
-        "xla_tflop": round(flops / 1e12, 3),
-        "mxu_floor_ms": round(flops / PEAK_BF16_FLOPS * 1e3, 2),
-        "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 1),
-        "unmapped_leaf_ms": round(unmapped_t / 1e3, 3),
-        "families": rows, "top_ops": top_rows,
-    }
+    return {"workload": "vae_gan_train_step_b48_bf16_disc_active",
+            **_family_report(compiled, args.trace_dir, dt, flops, args.top,
+                             label="vae-gan step")}
 
 
 def main():
